@@ -1,0 +1,332 @@
+"""Typed configuration for favae_tpu.
+
+Mirrors the reference's argparse flag surface (reference:
+favae_scripts/train_favae.py:392-438, cat_scripts/train_cat.py:252-312) as frozen
+dataclasses, plus named presets for the published configurations
+(reference: favae_scripts/train_favae_celeba.sh, train_favae_other_datasets_public.sh,
+cat_scripts/script_cat_celeba.sh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Enumerations (plain strings so configs stay trivially serializable)
+# ---------------------------------------------------------------------------
+
+# Frequency Complement Module flavour in the decoder
+# (reference dispatch: models/vqgan_fcm.py:58-96)
+FCM_NONE = "none"    # plain taming decoder (models/codec.py:400)
+FCM_CONV = "conv"    # NonResnetBlock FCM, output added back (models/codec.py:471,557,700)
+FCM_RES = "res"      # ResnetBlock FCM applied inline (models/codec.py:794,882)
+FCM_ATTN = "attn"    # TransEncoderBlock FCM 1-3 + ResnetBlock FCM 4 (models/codec.py:1011)
+
+# Dynamic Spectrum Loss sigma topology
+DSL_NONE = "none"        # no learned sigmas (plain FFL on taps, or no tap loss)
+DSL_NONPAIR = "nonpair"  # encoder + decoder each own 4 sigmas (models/codec.py:215,898)
+DSL_PAIR = "pair"        # 4 model-level shared sigmas (models/vqgan_fcm.py:67)
+
+
+def _f(**kw):
+    return dataclasses.field(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Encoder/decoder trunk config (reference: models/codec.py:125-188,400-465)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    base_channels: int = 128
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (16,)
+    dropout: float = 0.0
+    resolution: int = 256
+    z_channels: int = 256
+    double_z: bool = False
+    # groups for the decoder's first conv-FCM block (reference --num_groups,
+    # models/codec.py:725); all other GroupNorms use 32 groups.
+    num_groups: int = 32
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+
+def codec_for_downsample_factor(f: int, **overrides) -> CodecConfig:
+    """ch_mult / attn_resolutions presets keyed by downsample factor
+    (reference: favae_scripts/train_favae.py:264-272)."""
+    table = {
+        16: dict(ch_mult=(1, 1, 2, 2, 4), attn_resolutions=(16,)),
+        8: dict(ch_mult=(1, 2, 2, 4), attn_resolutions=(32,)),
+        4: dict(ch_mult=(1, 2, 4), attn_resolutions=()),
+    }
+    kw = dict(table[f])
+    kw.update(overrides)
+    return CodecConfig(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizerConfig:
+    """Vector quantizer config (reference: models/l2_quantize.py:448-503)."""
+
+    codebook_size: int = 1024
+    dim: int = 256                      # latent channels entering the quantizer
+    codebook_dim: Optional[int] = None  # projection dim (VitVQGAN style) or None
+    use_cosine_sim: bool = True
+    decay: float = 0.8
+    eps: float = 1e-5
+    commitment_weight: float = 1.0
+    # dead-code expiry. The reference's VectorQuantize wrapper defaults this to 0
+    # (disabled) and VQGANFCM never overrides it (models/l2_quantize.py:461).
+    threshold_ema_dead_code: float = 0.0
+    # number of global candidate vectors gathered for dead-code replacement
+    # (TPU-native, static-shape substitute for the reference's variably-sized
+    # all_gather at models/l2_quantize.py:82-115)
+    expire_candidates: int = 1024
+    sample_codebook_temp: float = 0.0
+    kmeans_init: bool = False
+    kmeans_iters: int = 10
+    orthogonal_reg_weight: float = 0.0
+    orthogonal_reg_active_codes_only: bool = False
+    orthogonal_reg_max_codes: Optional[int] = None
+    # The vendored EuclideanCodebook never EMA-updates `embed_avg`
+    # (models/l2_quantize.py:299 uses the stale init value). False = fixed math.
+    compat_stale_embed_avg: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Discriminator config (reference: models/discriminator.py:141-218)."""
+
+    kind: str = "conv"  # "conv" (Discriminator) | "patch" (PatchDiscriminator)
+    in_channels: int = 3
+    base_channels: int = 64
+    num_layers: int = 3
+    use_actnorm: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights and gates (reference: favae_scripts/train_favae.py:392-438)."""
+
+    perceptual_weight: float = 1.0
+    disc_weight: float = 0.75
+    codebook_weight: float = 1.0
+    ffl_weight: float = 1.0        # image-level FFL
+    dsl_weight: float = 0.01       # FFL on (blurred) feature taps ("DSL_weight_features")
+    sl_weight: float = 0.0         # fixed-sigma Spectrum Loss
+    gaussian_kernel: int = 9       # blur kernel size mu
+    gaussian_sigma: float = 3.0    # fixed sigma for SL
+    dsl_init_sigma: float = 3.0    # init for learned sigmas
+    ffl_alpha: float = 1.0
+    disc_start_epochs: int = 1
+    ffl_start_epochs: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class VQGANConfig:
+    """Full FA-VAE model config (reference: models/vqgan_fcm.py:44-110)."""
+
+    codec: CodecConfig = _f(default_factory=CodecConfig)
+    quantizer: QuantizerConfig = _f(default_factory=QuantizerConfig)
+    discriminator: DiscriminatorConfig = _f(default_factory=DiscriminatorConfig)
+    fcm_kind: str = FCM_RES
+    dsl_mode: str = DSL_NONPAIR
+    # dtype of conv/matmul compute inside the codec ("bfloat16" or "float32").
+    # Params, GroupNorm statistics, FFT, and quantizer math stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """FA-VAE trainer config (reference: favae_scripts/train_favae.py:234-382)."""
+
+    batch_size: int = 8            # per-device batch
+    base_lr: float = 2.0e-6        # lr = base_lr * batch_size * num_devices (:250-251)
+    sigma_lr: float = 2.0e-7       # separate lr for pairwise-DSL sigmas (:296-299)
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    epochs: int = 800
+    save_every_epoch: int = 1
+    print_steps: int = 10
+    img_steps: int = 100
+    seed: int = 0
+    # stage-1 recomputes reconstructions with the just-updated generator, exactly
+    # like the reference (train_favae.py:105-113). False reuses the stage-0 recon
+    # (one fewer E+G forward per step; slightly different D inputs).
+    faithful_stage1_recompute: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    """CAT transformer config (reference: models/gpt_ca.py:250-282,396-429)."""
+
+    vocab_size: int = 1024
+    n_layer: int = 24
+    n_embed: int = 1536
+    n_head: int = 16
+    dim_head: int = 64
+    image_encoded_dim: int = 16     # token grid side; seq len = dim**2
+    n_cond_embed: int = 768         # CLIP text token width (ViT-L/14)
+    dropout: float = 0.1
+    max_text_len: int = 128
+    cond_drop_prob: float = 0.25
+
+
+def gpt2_mini(vocab_size: int, **kw) -> GPTConfig:
+    return GPTConfig(vocab_size=vocab_size, n_layer=24, n_embed=1536, n_head=24, **kw)
+
+
+def gpt2_medium(vocab_size: int, **kw) -> GPTConfig:
+    return GPTConfig(vocab_size=vocab_size, n_layer=24, n_embed=1536, n_head=16, **kw)
+
+
+def gpt2_large(vocab_size: int, **kw) -> GPTConfig:
+    return GPTConfig(vocab_size=vocab_size, n_layer=36, n_embed=1280, n_head=32, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP text tower (reference: CLIP/clip/model.py:246-376). ViT-L/14 defaults."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    embed_dim: int = 768  # projection dim
+
+
+@dataclasses.dataclass(frozen=True)
+class CATConfig:
+    """CAT composition (reference: models/txt_cond_transformer.py:29-110)."""
+
+    vqgan: VQGANConfig = _f(default_factory=VQGANConfig)
+    gpt: GPTConfig = _f(default_factory=GPTConfig)
+    clip: CLIPTextConfig = _f(default_factory=CLIPTextConfig)
+    normalize_clip: bool = False
+    top_k: int = 500
+    top_p: float = 0.95
+    cond_scale: float = 3.0
+    base_lr: float = 2.0e-6
+    weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.95
+    warmup_epochs: int = 20
+    epochs: int = 200
+    min_lr: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# Published presets (BASELINE.json configs 1-5)
+# ---------------------------------------------------------------------------
+
+def celebahq_expe5() -> VQGANConfig:
+    """CelebA-HQ Table 2 row 8: FCM(Res) + non-pairwise DSL, mu=9, sigma0=3,
+    codebook 1024 (reference: favae_scripts/train_favae_celeba.sh:54-62)."""
+    return VQGANConfig(
+        codec=codec_for_downsample_factor(16),
+        quantizer=QuantizerConfig(codebook_size=1024, dim=256, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv"),
+        fcm_kind=FCM_RES,
+        dsl_mode=DSL_NONPAIR,
+    )
+
+
+def celebahq_expe5_losses() -> LossConfig:
+    return LossConfig(
+        perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
+        ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=9, dsl_init_sigma=3.0,
+        disc_start_epochs=1,
+    )
+
+
+def ffhq_table1() -> VQGANConfig:
+    """FFHQ Table 1 row 3: pairwise conv-FCM DSL, codebook 2048, mu=9
+    (reference: favae_scripts/train_favae_other_datasets_public.sh:8-13)."""
+    return VQGANConfig(
+        codec=codec_for_downsample_factor(16, num_groups=32),
+        quantizer=QuantizerConfig(codebook_size=2048, dim=256, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv"),
+        fcm_kind=FCM_CONV,
+        dsl_mode=DSL_PAIR,
+    )
+
+
+def ffhq_table1_losses() -> LossConfig:
+    return LossConfig(
+        perceptual_weight=1.0, disc_weight=0.25, codebook_weight=1.0,
+        ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=9, dsl_init_sigma=3.0,
+        disc_start_epochs=20,
+    )
+
+
+def imagenet_f16() -> VQGANConfig:
+    """ImageNet f=16, codebook 16384, PatchGAN(num_layers=2)
+    (reference: favae_scripts/train_favae_other_datasets_public.sh:16-21)."""
+    return VQGANConfig(
+        codec=codec_for_downsample_factor(16, num_groups=32),
+        quantizer=QuantizerConfig(codebook_size=16384, dim=256, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="patch", num_layers=2),
+        fcm_kind=FCM_CONV,
+        dsl_mode=DSL_PAIR,
+    )
+
+
+def imagenet_f16_losses() -> LossConfig:
+    return LossConfig(
+        perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
+        ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=3, dsl_init_sigma=3.0,
+        disc_start_epochs=20,
+    )
+
+
+def imagenet_f4() -> VQGANConfig:
+    """ImageNet f=4: codebook 8192, embed_dim 3 with codebook_dim 256 projection
+    (reference: favae_scripts/train_favae_other_datasets_public.sh:24-30)."""
+    return VQGANConfig(
+        codec=codec_for_downsample_factor(4, z_channels=3, num_groups=3),
+        quantizer=QuantizerConfig(
+            codebook_size=8192, dim=3, codebook_dim=256, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv"),
+        fcm_kind=FCM_CONV,
+        dsl_mode=DSL_PAIR,
+    )
+
+
+def imagenet_f4_losses() -> LossConfig:
+    return LossConfig(
+        perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
+        ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=3, dsl_init_sigma=3.0,
+        disc_start_epochs=5,
+    )
+
+
+def cat_celebahq() -> CATConfig:
+    """CAT on CelebA-HQ: gpt2_medium over a codebook-1024 FA-VAE
+    (reference: cat_scripts/script_cat_celeba.sh:19-26)."""
+    first_stage = VQGANConfig(
+        codec=codec_for_downsample_factor(16),
+        quantizer=QuantizerConfig(codebook_size=1024, dim=256, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv"),
+        fcm_kind=FCM_RES,
+        dsl_mode=DSL_PAIR,
+    )
+    return CATConfig(
+        vqgan=first_stage,
+        gpt=gpt2_medium(vocab_size=1024, n_cond_embed=768),
+        clip=CLIPTextConfig(),
+    )
+
+
+PRESETS = {
+    "celebahq_expe5": celebahq_expe5,
+    "ffhq_table1": ffhq_table1,
+    "imagenet_f16": imagenet_f16,
+    "imagenet_f4": imagenet_f4,
+    "cat_celebahq": cat_celebahq,
+}

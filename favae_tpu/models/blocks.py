@@ -1,0 +1,176 @@
+"""Core codec building blocks (flax.linen, NHWC).
+
+TPU-first re-design of the reference's taming-style blocks
+(reference: models/codec.py:11-122). Layout is NHWC (TPU-friendly), params are
+float32, conv/matmul compute can run in bfloat16 (`dtype`), normalizations and
+softmax accumulate in float32.
+
+Parameter-tree layout is kept converter-friendly: each torch nn.Conv2d maps to
+one linen Conv (OIHW->HWIO transpose in the converter), torch MultiheadAttention
+splits into q/k/v/out Dense layers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def group_norm(num_groups: int = 32, name: Optional[str] = None) -> nn.GroupNorm:
+    # torch GroupNorm default eps=1e-5 (reference: models/codec.py:39 et al.)
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)
+
+
+def conv3x3(features: int, dtype, name: Optional[str] = None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(1, 1), padding="SAME", dtype=dtype, name=name)
+
+
+def conv1x1(features: int, dtype, name: Optional[str] = None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(1, 1), padding="VALID", dtype=dtype, name=name)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + 3x3 conv (reference: models/codec.py:11-18)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        return conv3x3(self.channels, self.dtype, name="conv")(x)
+
+
+class Downsample(nn.Module):
+    """Asymmetric (0,1,0,1) pad + stride-2 valid 3x3 conv
+    (reference: models/codec.py:21-31, taming-style)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ResnetBlock(nn.Module):
+    """GN-SiLU-conv x2 with residual (reference: models/codec.py:34-57)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        in_c = x.shape[-1]
+        h = group_norm(self.num_groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = group_norm(self.num_groups, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        if in_c != self.out_channels:
+            x = conv1x1(self.out_channels, self.dtype, name="shortcut")(x)
+        return (x + h).astype(x.dtype)
+
+
+class NonResnetBlock(nn.Module):
+    """ResnetBlock body without the residual add — the conv-FCM
+    (reference: models/codec.py:62-84). The reference instantiates a shortcut
+    conv when channels change but never adds it to the output; all FCM call
+    sites keep in_c == out_c, so no shortcut params exist here."""
+
+    out_channels: int
+    dropout: float = 0.0
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = group_norm(self.num_groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = group_norm(self.num_groups, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        return h
+
+
+class AttnBlock(nn.Module):
+    """GroupNorm + single-head full self-attention over H*W tokens, residual
+    (reference: models/codec.py:87-102, via torch 1-head MultiheadAttention:
+    q/k/v/out projections all carry biases)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        y = group_norm(32, name="norm")(x).reshape(n, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(y)
+        scale = c ** -0.5
+        att = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * scale
+        att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", att, v)
+        out = nn.Dense(c, dtype=self.dtype, name="out")(out)
+        return x + out.reshape(n, h, w, c).astype(x.dtype)
+
+
+class TransEncoderBlock(nn.Module):
+    """GroupNorm + post-LN transformer encoder layer over H*W tokens — the
+    attention-FCM (reference: models/codec.py:108-122 wrapping torch
+    nn.TransformerEncoderLayer: 8 heads, ffn 2048, ReLU, post-norm, dropout 0.1,
+    output NOT residually added to the block input)."""
+
+    channels: int
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, h, w, c = x.shape
+        y = group_norm(32, name="norm")(x).reshape(n, h * w, c)
+
+        # --- self-attention sublayer (post-norm) ---
+        d_head = c // self.num_heads
+        q = nn.Dense(c, dtype=self.dtype, name="q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(y)
+        q = q.reshape(n, h * w, self.num_heads, d_head)
+        k = k.reshape(n, h * w, self.num_heads, d_head)
+        v = v.reshape(n, h * w, self.num_heads, d_head)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (d_head ** -0.5)
+        att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+        sa = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(n, h * w, c)
+        sa = nn.Dense(c, dtype=self.dtype, name="attn_out")(sa)
+        if self.dropout > 0.0:
+            sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(y + sa)
+
+        # --- feed-forward sublayer (post-norm, ReLU) ---
+        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ff1")(y)
+        ff = nn.relu(ff)
+        if self.dropout > 0.0:
+            ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        ff = nn.Dense(c, dtype=self.dtype, name="ff2")(ff)
+        if self.dropout > 0.0:
+            ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(y + ff)
+
+        return y.reshape(n, h, w, c).astype(x.dtype)

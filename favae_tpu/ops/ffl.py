@@ -1,0 +1,94 @@
+"""Focal Frequency Loss (Jiang et al., ICCV 2021) in pure XLA.
+
+The reference consumes the pip package `focal-frequency-loss==0.3.0`
+(reference: favae_scripts/train_favae.py:27,311-330, environment.yaml:139) with
+`alpha=1.0` and default `patch_factor=1, ave_spectrum=False, log_matrix=False,
+batch_matrix=False`. Semantics reproduced here:
+
+  F = fft2(x, norm="ortho") over the spatial dims
+  d = |F_pred - F_true|^2                       (per-frequency squared distance)
+  w = |F_pred - F_true|^alpha                   (spectrum weight)
+  w = w / max(w over spatial dims)              (per-(batch, channel) max)
+  w = nan_to_num(w), clip to [0, 1], detached
+  loss = mean(w * d) * loss_weight
+
+TPU-native twists vs the package:
+* the DFT runs as MXU matmuls (`favae_tpu.ops.dft`) — the axon TPU backend has
+  no FFT primitive, and dense DFT-by-matmul is faster at these sizes anyway;
+* FFL only ever consumes F_pred - F_true, and the DFT is linear, so we
+  transform the *difference* once instead of transforming both inputs.
+
+Runs in float32 on NHWC tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from favae_tpu.ops.dft import dft2_real_nhwc
+
+
+def focal_frequency_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    loss_weight: float = 1.0,
+    alpha: float = 1.0,
+    log_matrix: bool = False,
+    batch_matrix: bool = False,
+    matrix: Optional[jax.Array] = None,
+) -> jax.Array:
+    """FFL between NHWC `pred` and `target`. Returns a scalar.
+
+    `matrix` optionally supplies a precomputed spectrum weight (detached).
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+
+    # DFT is linear: F_pred - F_true = DFT(pred - target). One transform.
+    diff_re, diff_im = dft2_real_nhwc(pred - target, norm="ortho")
+    dist = diff_re * diff_re + diff_im * diff_im  # (N, H, W, C)
+
+    if matrix is not None:
+        w = jax.lax.stop_gradient(matrix)
+    else:
+        w = jnp.sqrt(dist)
+        if alpha != 1.0:
+            w = jnp.power(w, alpha)
+        if log_matrix:
+            w = jnp.log(w + 1.0)
+        if batch_matrix:
+            denom = jnp.max(w)
+        else:
+            denom = jnp.max(w, axis=(1, 2), keepdims=True)  # per (batch, channel)
+        w = w / denom
+        w = jnp.nan_to_num(w, nan=0.0)
+        w = jnp.clip(w, 0.0, 1.0)
+        w = jax.lax.stop_gradient(w)
+
+    return jnp.mean(w * dist) * loss_weight
+
+
+def feature_tap_ffl(
+    enc_feats,
+    dec_feats,
+    loss_weight: float = 1.0,
+    alpha: float = 1.0,
+):
+    """FFL over mirror-paired feature taps.
+
+    Pairs encoder tap i with decoder tap (n-1-i) — the reference reverses the
+    decoder list in place then zips (reference: losses/vqgan_losses.py:18-30).
+    Returns (mean loss, per-pair losses list).
+    """
+    n = len(enc_feats)
+    losses = []
+    total = jnp.float32(0.0)
+    for i in range(n):
+        li = focal_frequency_loss(
+            dec_feats[n - 1 - i], enc_feats[i], loss_weight=loss_weight, alpha=alpha)
+        losses.append(li)
+        total = total + li
+    return total / n, losses
