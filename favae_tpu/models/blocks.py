@@ -113,12 +113,13 @@ class AttnBlock(nn.Module):
     q/k/v/out projections all carry biases)."""
 
     channels: int
+    num_groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        y = group_norm(32, name="norm")(x).reshape(n, h * w, c)
+        y = group_norm(self.num_groups, name="norm")(x).reshape(n, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="v")(y)

@@ -1,0 +1,86 @@
+"""LPIPS perceptual metric (VGG16 backbone) in flax.
+
+reference: losses/lpips.py — ScalingLayer shift/scale, 5 VGG16 feature slices
+(relu1_2, relu2_2, relu3_3, relu4_3, relu5_3), channel-unit-normalized feature
+differences, 1x1 linear heads, spatial mean, summed over slices.
+
+Weights: the reference loads a combined `vgg16_lpips.pt` (not shipped in the
+repo; losses/lpips.py:14). `favae_tpu.utils.torch_convert.convert_lpips`
+maps that torch state_dict onto this module's parameter tree. For tests and
+synthetic benchmarks, random init is supported (the metric is then meaningless
+but the compute graph is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# VGG16 "features" conv layout: conv indices per slice, channels per conv.
+# slice boundaries after relu1_2 (idx 3), relu2_2 (8), relu3_3 (15),
+# relu4_3 (22), relu5_3 (29) of torchvision vgg16.features.
+VGG_SLICES: List[List[int]] = [
+    [64, 64],                 # slice1: conv1_1, conv1_2
+    [128, 128],               # slice2
+    [256, 256, 256],          # slice3
+    [512, 512, 512],          # slice4
+    [512, 512, 512],          # slice5
+]
+LPIPS_CHANNELS = [64, 128, 256, 512, 512]
+
+# ImageNet-vs-[-1,1] shift/scale (reference: losses/lpips.py:55-62)
+_SHIFT = jnp.asarray([-0.030, -0.088, -0.188], jnp.float32)
+_SCALE = jnp.asarray([0.458, 0.448, 0.450], jnp.float32)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 feature slices; input NHWC in [-1, 1]-normalized space already
+    passed through the scaling layer. MaxPool between slices."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        conv_idx = 0
+        h = x.astype(self.dtype)
+        for s, convs in enumerate(VGG_SLICES):
+            if s > 0:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            for c in convs:
+                h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"conv_{conv_idx}")(h)
+                h = nn.relu(h)
+                conv_idx += 1
+            outs.append(h)
+        return outs
+
+
+class LPIPS(nn.Module):
+    """Learned perceptual metric. Returns per-sample distances (N,)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, y):
+        def scale_in(t):
+            return (t.astype(jnp.float32) - _SHIFT) / _SCALE
+
+        net = VGG16Features(dtype=self.dtype, name="vgg")
+        fx = net(scale_in(x))
+        fy = net(scale_in(y))
+
+        def unit_norm(t, eps=1e-10):
+            t = t.astype(jnp.float32)
+            n = jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+            return t / (n + eps)
+
+        total = 0.0
+        for k in range(len(LPIPS_CHANNELS)):
+            d = (unit_norm(fx[k]) - unit_norm(fy[k])) ** 2
+            lin = nn.Conv(1, (1, 1), use_bias=False, dtype=jnp.float32,
+                          name=f"lin{k}")(d)
+            total = total + jnp.mean(lin, axis=(1, 2, 3))
+        return total

@@ -22,6 +22,8 @@ import numpy as np
 
 @functools.lru_cache(maxsize=32)
 def _dft_mats(n: int, norm: str):
+    # NOTE: cache plain numpy (never jnp) — a jnp constant created inside a
+    # jit trace is a tracer, and caching it would leak it across traces.
     k = np.arange(n)
     ang = -2.0 * np.pi * np.outer(k, k) / n
     c = np.cos(ang)
@@ -29,7 +31,7 @@ def _dft_mats(n: int, norm: str):
     if norm == "ortho":
         c = c / np.sqrt(n)
         s = s / np.sqrt(n)
-    return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
+    return np.asarray(c, np.float32), np.asarray(s, np.float32)
 
 
 def dft2_real_nhwc(x, norm: str = "ortho"):

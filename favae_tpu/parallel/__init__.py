@@ -1,0 +1,1 @@
+from favae_tpu.parallel.mesh import make_mesh, shard_batch, replicate_tree

@@ -1,0 +1,252 @@
+"""The FA-VAE train step: both GAN stages, all losses, codebook EMA, adaptive
+discriminator weight — one jitted SPMD function.
+
+Mirrors the reference hot loop (reference: favae_scripts/train_favae.py:56-116):
+
+  stage 0 (generator): x -> E -> Q -> G -> D(fake);
+      loss_g = L1 + pw*LPIPS + cw*loss_q
+             [+ weight_d * dw * hinge_g]          (epoch >= disc_start_epochs)
+             [+ FFL(x, x_recon) + DSL/SL tap FFL] (epoch >= ffl_start_epochs)
+      Adam(0.5, 0.9) update of encoder+decoder+quantizer(+sigmas).
+  stage 1 (discriminator): recompute recon with the *updated* generator
+      (reference order: opt_g.step() happens before the stage-1 forward),
+      hinge_d on D(x), D(sg(recon)); Adam update of D.
+
+The adaptive weight weight_d = ||dL_recon/dW|| / (||dL_disc/dW|| + 1e-4)
+clamped to [0, 1e4], W = the decoder's final RGB conv kernel (reference:
+train_favae.py:32-39). Since the pre-final activation h_pre does not depend on
+W, both grads come from one jax.vjp over the tiny tail graph
+(final conv -> {L1+LPIPS, D}) instead of two full backward passes.
+
+Epoch gates (disc_on, ffl_on) are Python statics: at most 4 compiled variants
+per run, each free of dead branches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from favae_tpu.config import DSL_PAIR, LossConfig, TrainConfig, VQGANConfig
+from favae_tpu.models.vqgan import VQGANFCM
+from favae_tpu.ops.ffl import feature_tap_ffl, focal_frequency_loss
+from favae_tpu.ops.gaussian import gaussian_blur_nhwc
+from favae_tpu.ops.losses import hinge_d_loss, hinge_g_loss
+from favae_tpu.train.favae_state import FavaeTrainState, merge_params
+
+
+def _conv_same_nhwc(x, kernel, bias):
+    """3x3 SAME conv matching flax nn.Conv used for the decoder's final_conv."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME", dimension_numbers=dn)
+    return y + bias
+
+
+def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
+                    model_cfg: VQGANConfig, loss_cfg: LossConfig,
+                    train_cfg: TrainConfig, *, disc_on: bool, ffl_on: bool):
+    """Build the jitted train step for one (disc_on, ffl_on) gate combination."""
+
+    pw = loss_cfg.perceptual_weight
+    cw = loss_cfg.codebook_weight
+    dw = loss_cfg.disc_weight
+    pair = model_cfg.dsl_mode == DSL_PAIR
+    use_dsl = loss_cfg.dsl_weight > 0
+    use_sl = loss_cfg.sl_weight > 0
+    use_ffl_img = loss_cfg.ffl_weight > 0
+
+    def _apply_disc(params, batch_stats, x, *, train):
+        # full param tree: linen setup() materializes every submodule's params
+        # on any method call, so partial trees are rejected. XLA dead-code
+        # eliminates the unused generator params.
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, x, train=train,
+                          method=VQGANFCM.discriminate,
+                          mutable=["batch_stats"] if batch_stats else False)
+        if batch_stats:
+            logits, mutated = out
+            return logits, mutated["batch_stats"]
+        return out, batch_stats
+
+    def _lpips(lpips_params, a, b):
+        return jnp.mean(lpips_model.apply({"params": lpips_params}, a, b))
+
+    def train_step(state: FavaeTrainState, x: jax.Array, rng: jax.Array
+                   ) -> Tuple[FavaeTrainState, Dict[str, jax.Array]]:
+        x = x.astype(jnp.float32)
+        rng = jax.random.fold_in(rng, state.step)
+        k_drop, k_vq0, k_vq1, k_drop1 = jax.random.split(rng, 4)
+        metrics: Dict[str, jax.Array] = {}
+
+        # ------------------------------------------------------------------
+        # stage 0: generator update
+        # ------------------------------------------------------------------
+        def stage0_loss(params_g):
+            variables = {"params": merge_params(params_g, state.params_d)}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outs, mutated = model.apply(
+                variables, x, state.cb_state, train=True, rng=k_vq0,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            new_bs = mutated.get("batch_stats", state.batch_stats)
+
+            x_recon = outs["x_recon"]
+            loss_q = outs["loss_q"]
+            loss_l1 = jnp.mean(jnp.abs(x - x_recon))
+            loss_perceptual = _lpips(state.lpips_params, x, x_recon)
+            loss_recon = loss_l1 + pw * loss_perceptual
+            loss_g = loss_recon + cw * loss_q
+
+            aux = dict(loss_l1=loss_l1, loss_perceptual=loss_perceptual,
+                       loss_recon=loss_recon, loss_q=loss_q)
+
+            if disc_on:
+                loss_disc = hinge_g_loss(outs["logits_fake"])
+
+                # adaptive weight via one vjp over the final-conv tail
+                w = params_g["decoder"]["final_conv"]["kernel"]
+                b = params_g["decoder"]["final_conv"]["bias"]
+                h_pre = jax.lax.stop_gradient(outs["h_pre"]).astype(jnp.float32)
+
+                def tail(w_):
+                    xr = _conv_same_nhwc(h_pre, w_, b).astype(jnp.float32)
+                    lr_ = (jnp.mean(jnp.abs(x - xr))
+                           + pw * _lpips(state.lpips_params, x, xr))
+                    lf, _ = _apply_disc(
+                        merge_params(jax.lax.stop_gradient(params_g),
+                                     state.params_d),
+                        state.batch_stats, xr, train=True)
+                    return lr_, hinge_g_loss(lf)
+
+                _, tail_vjp = jax.vjp(tail, w.astype(jnp.float32))
+                (g_recon,) = tail_vjp((jnp.float32(1.0), jnp.float32(0.0)))
+                (g_disc,) = tail_vjp((jnp.float32(0.0), jnp.float32(1.0)))
+                weight_d = jnp.linalg.norm(g_recon) / (jnp.linalg.norm(g_disc) + 1e-4)
+                weight_d = jax.lax.stop_gradient(jnp.clip(weight_d, 0.0, 1e4))
+                loss_g = loss_g + weight_d * dw * loss_disc
+                aux.update(loss_disc=loss_disc, weight_d=weight_d)
+            else:
+                aux.update(loss_disc=jnp.float32(0.0), weight_d=jnp.float32(0.0))
+
+            if ffl_on:
+                if use_ffl_img:
+                    loss_ffl = focal_frequency_loss(
+                        x_recon, x, loss_weight=loss_cfg.ffl_weight,
+                        alpha=loss_cfg.ffl_alpha)
+                    loss_g = loss_g + loss_ffl
+                    aux["loss_ffl"] = loss_ffl
+                if use_dsl:
+                    loss_dsl, per_tap = feature_tap_ffl(
+                        outs["enc_feats"], outs["dec_feats"],
+                        loss_weight=loss_cfg.dsl_weight, alpha=loss_cfg.ffl_alpha)
+                    loss_g = loss_g + loss_dsl
+                    aux["loss_dsl_features"] = loss_dsl
+                    for i, t in enumerate(per_tap):
+                        aux[f"loss_dsl_block{i + 1}"] = t
+                if use_sl:
+                    # fixed-sigma Spectrum Loss on the raw taps (reference:
+                    # losses/vqgan_losses.py:34-50)
+                    sig = jnp.float32(loss_cfg.gaussian_sigma)
+                    enc_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel, sig)
+                             for f in outs["enc_feats"]]
+                    dec_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel, sig)
+                             for f in outs["dec_feats"]]
+                    loss_sl, _ = feature_tap_ffl(
+                        enc_b, dec_b, loss_weight=loss_cfg.sl_weight,
+                        alpha=loss_cfg.ffl_alpha)
+                    loss_g = loss_g + loss_sl
+                    aux["loss_sl_gauss_features"] = loss_sl
+
+            aux["loss_g"] = loss_g
+            return loss_g, (aux, outs["cb_state"], new_bs, x_recon)
+
+        grads, (aux, cb_state1, batch_stats1, x_recon0) = jax.grad(
+            stage0_loss, has_aux=True)(state.params_g)
+        updates, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+        metrics.update(aux)
+
+        state = state.replace(params_g=params_g, opt_g=opt_g,
+                              cb_state=cb_state1, batch_stats=batch_stats1)
+
+        # ------------------------------------------------------------------
+        # stage 1: discriminator update (reference: train_favae.py:109-116)
+        # ------------------------------------------------------------------
+        if disc_on:
+            if train_cfg.faithful_stage1_recompute:
+                # no_grad recon with the *updated* generator; train-mode
+                # quantizer => the codebook EMA runs a second time per step,
+                # exactly like the reference (vqgan_fcm.py:138-146 under
+                # model.train()). Tap blurring is skipped: it cannot affect
+                # the reconstruction and its output is discarded.
+                gen_vars = {"params": merge_params(params_g, state.params_d)}
+                z_q, _, _, _, cb_state2 = model.apply(
+                    gen_vars, x, state.cb_state, train=True, inference=True,
+                    rng=k_vq1, rngs={"dropout": k_drop1},
+                    method=VQGANFCM.encode, mutable=False)
+                x_recon1, _, _ = model.apply(
+                    gen_vars, z_q, train=True, inference=True,
+                    rngs={"dropout": k_drop1},
+                    method=VQGANFCM.decode, mutable=False)
+                x_recon1 = jax.lax.stop_gradient(x_recon1)
+                state = state.replace(cb_state=cb_state2)
+            else:
+                x_recon1 = jax.lax.stop_gradient(x_recon0)
+
+            def stage1_loss(params_d):
+                logits_real, bs1 = _apply_disc(
+                    merge_params(params_g, params_d), state.batch_stats, x,
+                    train=True)
+                logits_fake, bs2 = _apply_disc(
+                    merge_params(params_g, params_d), bs1, x_recon1, train=True)
+                loss_d = hinge_d_loss(logits_real, logits_fake)
+                return loss_d, bs2
+
+            (loss_d_val, batch_stats2), grads_d = jax.value_and_grad(
+                stage1_loss, has_aux=True)(state.params_d)
+            updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+            params_d = optax.apply_updates(state.params_d, updates_d)
+            state = state.replace(params_d=params_d, opt_d=opt_d,
+                                  batch_stats=batch_stats2)
+            metrics["loss_d"] = loss_d_val
+        else:
+            metrics["loss_d"] = jnp.float32(0.0)
+
+        state = state.replace(step=state.step + 1)
+        metrics["x_recon"] = x_recon0
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: VQGANFCM, lpips_model, loss_cfg: LossConfig):
+    """Validation forward (reference: train_favae.py:180-231): L1 + LPIPS on
+    eval-mode reconstructions."""
+
+    def eval_step(state: FavaeTrainState, x: jax.Array):
+        x = x.astype(jnp.float32)
+        variables = {"params": merge_params(state.params_g, state.params_d)}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        z_q, _, indices, _, _ = model.apply(
+            variables, x, state.cb_state, train=False, inference=True,
+            method=VQGANFCM.encode)
+        x_recon, _, _ = model.apply(
+            variables, z_q, train=False, inference=True,
+            method=VQGANFCM.decode)
+        loss_l1 = jnp.mean(jnp.abs(x - x_recon))
+        loss_perceptual = jnp.mean(lpips_model.apply(
+            {"params": state.lpips_params}, x, x_recon))
+        loss_recon = loss_l1 + loss_cfg.perceptual_weight * loss_perceptual
+        return dict(loss_l1=loss_l1, loss_perceptual=loss_perceptual,
+                    loss_recon=loss_recon, x_recon=x_recon, indices=indices)
+
+    return eval_step

@@ -1,6 +1,9 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax is imported anywhere.
+The container's sitecustomize imports jax at interpreter startup and pins
+JAX_PLATFORMS=axon (the real TPU), so plain env vars are captured before any
+conftest runs. Force CPU through the live jax config instead; XLA_FLAGS is
+still honored because the CPU client is only created on first use.
 """
 
 import os
@@ -14,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()

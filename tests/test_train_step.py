@@ -1,0 +1,133 @@
+"""End-to-end FA-VAE train-step tests on a tiny config, including SPMD over
+the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from favae_tpu.config import (
+    DSL_NONPAIR, DSL_PAIR, FCM_CONV, FCM_RES,
+    CodecConfig, DiscriminatorConfig, LossConfig, QuantizerConfig,
+    TrainConfig, VQGANConfig,
+)
+from favae_tpu.models.lpips import LPIPS
+from favae_tpu.models.vqgan import VQGANFCM
+from favae_tpu.parallel.mesh import make_mesh, shard_batch, replicate_tree
+from favae_tpu.train.favae_state import FavaeTrainState
+from favae_tpu.train.favae_step import make_eval_step, make_train_step
+
+
+def tiny_cfg(fcm=FCM_RES, dsl=DSL_NONPAIR, disc_kind="conv"):
+    return VQGANConfig(
+        codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), resolution=32, z_channels=64),
+        quantizer=QuantizerConfig(codebook_size=64, dim=64, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind=disc_kind, num_layers=2),
+        fcm_kind=fcm,
+        dsl_mode=dsl,
+        compute_dtype="float32",
+    )
+
+
+def tiny_losses():
+    return LossConfig(gaussian_kernel=3, dsl_init_sigma=1.0,
+                      disc_start_epochs=0, ffl_start_epochs=0)
+
+
+def build(model_cfg, loss_cfg, **step_kw):
+    train_cfg = TrainConfig(batch_size=8)
+    state, model, tx_g, tx_d = FavaeTrainState.create(
+        model_cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=1e-4)
+    lpips = LPIPS(dtype=jnp.float32)
+    step = make_train_step(model, lpips, tx_g, tx_d, model_cfg, loss_cfg,
+                           train_cfg, **step_kw)
+    return state, model, lpips, step
+
+
+@pytest.mark.parametrize("fcm,dsl", [(FCM_RES, DSL_NONPAIR), (FCM_CONV, DSL_PAIR)])
+def test_train_step_runs_and_updates(fcm, dsl):
+    model_cfg, loss_cfg = tiny_cfg(fcm, dsl), tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=True, ffl_on=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32) * 2 - 1)
+    step = jax.jit(step)
+    new_state, metrics = step(state, x, jax.random.PRNGKey(1))
+
+    for k in ("loss_g", "loss_l1", "loss_perceptual", "loss_q", "loss_disc",
+              "loss_d", "loss_ffl", "loss_dsl_features", "weight_d"):
+        v = float(metrics[k])
+        assert np.isfinite(v), (k, v)
+
+    # generator params changed
+    w0 = state.params_g["decoder"]["final_conv"]["kernel"]
+    w1 = new_state.params_g["decoder"]["final_conv"]["kernel"]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
+    # discriminator params changed
+    d0 = jax.tree_util.tree_leaves(state.params_d)[0]
+    d1 = jax.tree_util.tree_leaves(new_state.params_d)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # codebook EMA advanced
+    assert not np.allclose(np.asarray(state.cb_state.cluster_size),
+                           np.asarray(new_state.cb_state.cluster_size))
+    # learned sigmas exist and moved (nonpair: inside encoder/decoder)
+    if dsl == DSL_NONPAIR:
+        s0 = state.params_g["encoder"]["sigmas"]
+        s1 = new_state.params_g["encoder"]["sigmas"]
+        assert s0.shape == (4,)
+        assert not np.allclose(np.asarray(s0), np.asarray(s1))
+    else:
+        # pair sigmas train on the dedicated 2e-7 lr: expect a tiny move
+        s0 = np.asarray(state.params_g["sigmas"])
+        s1 = np.asarray(new_state.params_g["sigmas"])
+        assert (s0 != s1).any()
+        assert np.max(np.abs(s0 - s1)) < 1e-5
+    assert int(new_state.step) == 1
+
+
+def test_train_step_no_disc_no_ffl():
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=False, ffl_on=False)
+    x = jnp.asarray(np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32) * 2 - 1)
+    new_state, metrics = jax.jit(step)(state, x, jax.random.PRNGKey(1))
+    assert float(metrics["loss_d"]) == 0.0
+    assert float(metrics["weight_d"]) == 0.0
+    # discriminator untouched
+    d0 = jax.tree_util.tree_leaves(state.params_d)[0]
+    d1 = jax.tree_util.tree_leaves(new_state.params_d)[0]
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_train_step_sharded_over_mesh():
+    """Global-view step with batch sharded over 'dp' must run and produce the
+    same losses as single-device execution."""
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=True, ffl_on=True)
+    x_np = np.random.RandomState(2).rand(8, 32, 32, 3).astype(np.float32) * 2 - 1
+
+    mesh = make_mesh(8)
+    state_r = replicate_tree(state, mesh)
+    x_sh = shard_batch(jnp.asarray(x_np), mesh)
+    new_state_sh, m_sh = jax.jit(step)(state_r, x_sh, jax.random.PRNGKey(1))
+
+    new_state_1, m_1 = jax.jit(step)(state, jnp.asarray(x_np), jax.random.PRNGKey(1))
+
+    for k in ("loss_g", "loss_l1", "loss_q", "loss_d"):
+        assert abs(float(m_sh[k]) - float(m_1[k])) < 1e-3, k
+    np.testing.assert_allclose(
+        np.asarray(new_state_sh.cb_state.cluster_size),
+        np.asarray(new_state_1.cb_state.cluster_size), atol=1e-4)
+
+
+def test_eval_step():
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    state, model, lpips, _ = build(model_cfg, loss_cfg, disc_on=False, ffl_on=False)
+    ev = jax.jit(make_eval_step(model, lpips, loss_cfg))
+    x = jnp.asarray(np.random.RandomState(3).rand(4, 32, 32, 3).astype(np.float32) * 2 - 1)
+    out = ev(state, x)
+    assert out["x_recon"].shape == x.shape
+    assert np.isfinite(float(out["loss_recon"]))
+    # ch_mult=(1,2) -> downsample factor 2 -> 16x16 token grid at 32px
+    assert out["indices"].shape == (4, 16, 16)
