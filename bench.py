@@ -1,0 +1,86 @@
+"""Benchmark: FA-VAE VQGAN train-step throughput (imgs/sec/chip) at 256px.
+
+Runs the published CelebA-HQ expe_5 configuration (FCM(Res) + non-pairwise
+DSL, full loss stack with discriminator) — the reference's hot loop
+(reference: favae_scripts/train_favae.py:56-116) — on the available TPU
+chip(s) and prints ONE JSON line.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+compare against an estimated PyTorch/A100 figure for the same model and batch
+size derived from the reference's V100 batch-8 hint and standard A100/V100
+scaling: ~25 imgs/sec/chip. vs_baseline = ours / 25.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from favae_tpu.config import TrainConfig, celebahq_expe5, celebahq_expe5_losses
+from favae_tpu.models.lpips import LPIPS
+from favae_tpu.train.favae_state import FavaeTrainState
+from favae_tpu.train.favae_step import make_train_step
+
+A100_BASELINE_IMGS_PER_SEC = 25.0
+BATCH_PER_CHIP = int(os.environ.get("FAVAE_BENCH_BATCH", "16"))
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    n_chips = jax.device_count()
+    batch = BATCH_PER_CHIP * n_chips
+
+    model_cfg = celebahq_expe5()
+    loss_cfg = celebahq_expe5_losses()
+    train_cfg = TrainConfig(batch_size=BATCH_PER_CHIP)
+    lr = train_cfg.base_lr * BATCH_PER_CHIP * n_chips
+
+    state, model, tx_g, tx_d = FavaeTrainState.create(
+        model_cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=lr)
+
+    lpips = LPIPS()
+    step = jax.jit(
+        make_train_step(model, lpips, tx_g, tx_d, model_cfg, loss_cfg,
+                        train_cfg, disc_on=True, ffl_on=True),
+        donate_argnums=0)
+
+    if n_chips > 1:
+        from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+        mesh = make_mesh()
+        state = replicate_tree(state, mesh)
+        x = shard_batch(jnp.asarray(
+            np.random.RandomState(0).rand(batch, 256, 256, 3)
+            .astype(np.float32) * 2 - 1), mesh)
+    else:
+        x = jnp.asarray(np.random.RandomState(0).rand(batch, 256, 256, 3)
+                        .astype(np.float32) * 2 - 1)
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        state, m = step(state, x, rng)
+    jax.block_until_ready(m["loss_g"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = step(state, x, rng)
+    jax.block_until_ready(m["loss_g"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    imgs_per_sec_chip = batch / dt / n_chips
+    print(json.dumps({
+        "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_chip / A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

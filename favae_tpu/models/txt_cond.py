@@ -1,0 +1,133 @@
+"""CAT composition: frozen FA-VAE + frozen CLIP text encoder + trainable GPT.
+
+reference: models/txt_cond_transformer.py:29-265 (Net2NetTransformer). The
+torch version wires Accelerate/optimizer construction into the model ctor;
+here the composition is a plain dataclass of (module, params) pairs and pure
+functions — the CAT train step closes over the frozen parts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from favae_tpu.config import CATConfig
+from favae_tpu.models.clip_text import BPETokenizer, CLIPTextEncoder, tokenize
+from favae_tpu.models.gpt import GPT
+from favae_tpu.models.quantizer import CodebookState
+from favae_tpu.models.vqgan import VQGANFCM
+
+
+@dataclasses.dataclass
+class CATModel:
+    cfg: CATConfig
+    favae: VQGANFCM
+    favae_variables: Any          # {"params": ..., possibly "batch_stats"}
+    cb_state: CodebookState
+    clip: CLIPTextEncoder
+    clip_params: Any
+    gpt: GPT
+    tokenizer: Optional[BPETokenizer] = None
+
+    # ------------------------------------------------------------------
+    def encode_to_z(self, x):
+        """Frozen FA-VAE encode -> token ids (B, L)
+        (reference: txt_cond_transformer.py:134-139)."""
+        _, _, indices, _, _ = self.favae.apply(
+            self.favae_variables, x, self.cb_state, train=False,
+            inference=True, method=VQGANFCM.encode)
+        b = indices.shape[0]
+        return indices.reshape(b, -1)
+
+    def encode_text_ids(self, text_ids):
+        """CLIP text ids -> (token embeds (B,77,D), mask (B,77))
+        (reference: txt_cond_transformer.py:142-150: mask = ids > 0,
+        embeddings cast to float32; optional L2 normalization per
+        utils.py:29-37 CLIPWrapper)."""
+        embeds, pooled = self.clip.apply({"params": self.clip_params}, text_ids)
+        embeds = embeds.astype(jnp.float32)
+        if self.cfg.normalize_clip:
+            embeds = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+        mask = text_ids > 0
+        return embeds, mask
+
+    def tokenize(self, texts):
+        assert self.tokenizer is not None, "no BPE merges file configured"
+        return jnp.asarray(tokenize(self.tokenizer, texts,
+                                    self.cfg.clip.context_length))
+
+    def decode_to_img(self, index_grid):
+        """Sampled (B, g, g) token grid -> image
+        (reference: txt_cond_transformer.py:160-168)."""
+        return self.favae.apply(
+            self.favae_variables, index_grid, self.cb_state,
+            method=VQGANFCM.decode_code)
+
+    # ------------------------------------------------------------------
+    def gpt_loss(self, gpt_params, x, text_ids, *, rng, train: bool = True):
+        """Teacher-forced CE loss (reference: txt_cond_transformer.py:112-125):
+        input = z[:, :L-1] (start token prepended inside GPT), CE over all L
+        positions against the full z sequence."""
+        z = self.encode_to_z(x)
+        embeds, mask = self.encode_text_ids(text_ids)
+        inp = z[:, :-1]
+        logits = self.gpt.apply(
+            {"params": gpt_params}, inp, embeds, mask,
+            cond_drop_prob=self.cfg.gpt.cond_drop_prob if train else 0.0,
+            train=train, rng=rng)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, z[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    def sample_images(self, gpt_params, text_ids, *, rng,
+                      top_k: Optional[int] = None, top_p: float = 1.0,
+                      temperature: float = 1.0,
+                      cond_scale: Optional[float] = None):
+        """Text -> image (reference: txt_cond_transformer.py:171-185)."""
+        embeds, mask = self.encode_text_ids(text_ids)
+        grid = self.gpt.apply(
+            {"params": gpt_params}, embeds, mask, rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            cond_scale=self.cfg.cond_scale if cond_scale is None else cond_scale,
+            method=GPT.sample)
+        return self.decode_to_img(grid), grid
+
+
+def build_cat(cfg: CATConfig, rng: jax.Array,
+              favae_variables=None, cb_state=None, clip_params=None,
+              tokenizer: Optional[BPETokenizer] = None):
+    """Construct CATModel + freshly initialized GPT params. Frozen components
+    accept converted reference weights or fall back to random init (tests)."""
+    from favae_tpu.models.quantizer import init_codebook_state
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    favae = VQGANFCM(cfg.vqgan)
+    res = cfg.vqgan.codec.resolution
+    if cb_state is None:
+        cb_state = init_codebook_state(cfg.vqgan.quantizer, k1)
+    if favae_variables is None:
+        dummy = jnp.zeros((1, res, res, 3), jnp.float32)
+        favae_variables = favae.init({"params": k2, "dropout": k2}, dummy,
+                                     cb_state, train=False, inference=True)
+    clip = CLIPTextEncoder(cfg.clip)
+    if clip_params is None:
+        ids = jnp.zeros((1, cfg.clip.context_length), jnp.int32)
+        clip_params = clip.init(k3, ids)["params"]
+
+    gpt = GPT(cfg.gpt)
+    n = cfg.gpt.image_encoded_dim ** 2
+    dummy_ids = jnp.zeros((1, n - 1), jnp.int32)
+    dummy_txt = jnp.zeros((1, cfg.clip.context_length, cfg.gpt.n_cond_embed),
+                          jnp.float32)
+    dummy_mask = jnp.ones((1, cfg.clip.context_length), bool)
+    gpt_params = gpt.init(k4, dummy_ids, dummy_txt, dummy_mask,
+                          cond_drop_prob=0.0)["params"]
+
+    model = CATModel(cfg=cfg, favae=favae, favae_variables=favae_variables,
+                     cb_state=cb_state, clip=clip, clip_params=clip_params,
+                     gpt=gpt, tokenizer=tokenizer)
+    return model, gpt_params

@@ -1,0 +1,87 @@
+"""CAT train step + optimizer (AdamW with minGPT-style decay masking).
+
+reference: cat_scripts/train_cat.py:69-109 (hot loop) and
+models/txt_cond_transformer.py:238-265 (configure_optimizers). Decay rules
+replicated exactly:
+
+* no weight decay: torch-Embedding weights (token embedding incl. the tied
+  logits head, the RelPosBias2d table) and anything named "bias";
+* weight decay 0.01: everything else — including the custom-LayerNorm gammas,
+  axial positional embeddings, start token, and null kv, because the
+  reference's forbidden-type filter only excludes torch.nn.LayerNorm /
+  torch.nn.Embedding and its custom LayerNorm/Parameters are neither
+  (txt_cond_transformer.py:249-262).
+
+The frozen FA-VAE encode and CLIP text encode both run inside the jitted
+step; bf16 compute, no grad scaler (TPU needs no loss scaling).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from favae_tpu.config import CATConfig
+from favae_tpu.models.txt_cond import CATModel
+
+
+def decay_mask(params) -> Any:
+    """True where weight decay applies."""
+
+    def fn(path, _leaf):
+        keys = [getattr(p, "key", "") for p in path]
+        if keys and keys[-1] == "bias":
+            return False
+        if "embedding" in keys:        # nn.Embed leaves (tok_emb, pos_bias)
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def make_cat_optimizer(cfg: CATConfig, lr_schedule) -> optax.GradientTransformation:
+    return optax.adamw(
+        lr_schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+        weight_decay=cfg.weight_decay, mask=decay_mask)
+
+
+class CATTrainState(struct.PyTreeNode):
+    gpt_params: Any
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def create_cat_state(cat: CATModel, gpt_params, tx) -> CATTrainState:
+    return CATTrainState(gpt_params=gpt_params, opt_state=tx.init(gpt_params),
+                         step=jnp.int32(0))
+
+
+def make_cat_train_step(cat: CATModel, tx) -> Callable:
+    def train_step(state: CATTrainState, x, text_ids, rng
+                   ) -> Tuple[CATTrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(gpt_params):
+            return cat.gpt_loss(gpt_params, x, text_ids, rng=rng, train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.gpt_params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.gpt_params)
+        gpt_params = optax.apply_updates(state.gpt_params, updates)
+        new_state = state.replace(gpt_params=gpt_params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, {"loss_gpt": loss}
+
+    return train_step
+
+
+def make_cat_eval_step(cat: CATModel) -> Callable:
+    def eval_step(state: CATTrainState, x, text_ids):
+        loss = cat.gpt_loss(state.gpt_params, x, text_ids,
+                            rng=jax.random.PRNGKey(0), train=False)
+        return {"loss_gpt": loss}
+
+    return eval_step

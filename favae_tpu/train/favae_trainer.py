@@ -1,0 +1,163 @@
+"""FA-VAE trainer: epoch loop, gates, validation, checkpointing, logging.
+
+reference: favae_scripts/train_favae.py:234-388. Differences by design:
+
+* epoch gates (disc_start_epochs / ffl_start_epochs) select one of up to four
+  pre-built jitted step variants instead of branching per step;
+* metrics fetch to host only on logging steps (no per-step device sync);
+* checkpoints via Orbax (atomic latest/best), resume restores the full
+  functional state including both optimizer states and the codebook EMA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from favae_tpu.config import LossConfig, TrainConfig, VQGANConfig
+from favae_tpu.models.lpips import LPIPS
+from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from favae_tpu.train.favae_state import FavaeTrainState
+from favae_tpu.train.favae_step import make_eval_step, make_train_step
+from favae_tpu.utils.checkpoint import CheckpointManager
+from favae_tpu.utils.logging import MetricWriter, print0
+
+
+class FavaeTrainer:
+    def __init__(self, model_cfg: VQGANConfig, loss_cfg: LossConfig,
+                 train_cfg: TrainConfig, save_dir: str,
+                 lpips_params=None, log_dir: Optional[str] = None,
+                 enable_profiler: bool = False):
+        self.model_cfg = model_cfg
+        self.loss_cfg = loss_cfg
+        self.train_cfg = train_cfg
+        self.enable_profiler = enable_profiler
+
+        n_dev = jax.device_count()
+        self.mesh = make_mesh() if n_dev > 1 else None
+        # lr = base_lr * per-device batch * n_devices (reference:
+        # train_favae.py:250-251 with WORLD_SIZE -> device count)
+        self.lr = train_cfg.base_lr * train_cfg.batch_size * n_dev
+
+        rng = jax.random.PRNGKey(train_cfg.seed)
+        self.state, self.model, tx_g, tx_d = FavaeTrainState.create(
+            model_cfg, loss_cfg, train_cfg, rng, lr=self.lr,
+            lpips_params=lpips_params)
+        self.lpips = LPIPS()
+        self._steps = {}
+        for disc_on in (False, True):
+            for ffl_on in (False, True):
+                self._steps[(disc_on, ffl_on)] = jax.jit(
+                    make_train_step(self.model, self.lpips, tx_g, tx_d,
+                                    model_cfg, loss_cfg, train_cfg,
+                                    disc_on=disc_on, ffl_on=ffl_on),
+                    donate_argnums=0)
+        self.eval_step = jax.jit(make_eval_step(self.model, self.lpips, loss_cfg))
+
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+
+        self.ckpt = CheckpointManager(save_dir, train_cfg.save_every_epoch)
+        self.writer = MetricWriter(log_dir)
+        self.start_epoch = 0
+        self.rng = jax.random.PRNGKey(train_cfg.seed + 1)
+
+    # ------------------------------------------------------------------
+    def resume(self):
+        state, meta = self.ckpt.try_resume(self.state)
+        if state is not None:
+            self.state = state
+            self.start_epoch = int(meta.get("epoch", 0))
+            print0(f"resumed from epoch {self.start_epoch}, "
+                   f"best {self.ckpt.best_score:.4f}")
+
+    def _place(self, x: np.ndarray):
+        if self.mesh is not None:
+            return shard_batch(jnp.asarray(x), self.mesh)
+        return jnp.asarray(x)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, loader, epoch: int) -> None:
+        cfg = self.train_cfg
+        disc_on = epoch >= self.loss_cfg.disc_start_epochs
+        ffl_on = epoch >= self.loss_cfg.ffl_start_epochs
+        step_fn = self._steps[(disc_on, ffl_on)]
+        loader.set_epoch(epoch)
+        steps_per_epoch = len(loader)
+
+        t_last = time.perf_counter()
+        imgs_since = 0
+        for step, x in enumerate(loader):
+            gstep = epoch * steps_per_epoch + step
+            self.state, metrics = step_fn(self.state, self._place(x), self.rng)
+            imgs_since += x.shape[0]
+
+            if step % cfg.print_steps == 0:
+                scalars = {k: float(v) for k, v in metrics.items()
+                           if np.ndim(v) == 0}
+                dt = time.perf_counter() - t_last
+                scalars["imgs_per_sec"] = imgs_since / max(dt, 1e-9)
+                t_last = time.perf_counter()
+                imgs_since = 0
+                self._log_sigmas(scalars)
+                self.writer.scalars("train", scalars, gstep)
+                print0(f"epoch {epoch} step {step} "
+                       + " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items())
+                                  if k.startswith("loss") or k in
+                                  ("weight_d", "imgs_per_sec")))
+            if step % cfg.img_steps == 0:
+                self.writer.recon_grid(
+                    "train/img-recon", x[:4],
+                    np.asarray(metrics["x_recon"])[:4], gstep)
+
+    def _log_sigmas(self, scalars: Dict[str, float]) -> None:
+        """All learned DSL sigmas (reference: train_favae.py:129-147)."""
+        pg = self.state.params_g
+        if "sigmas" in pg:
+            for i, v in enumerate(np.asarray(pg["sigmas"])):
+                scalars[f"sigma_{i}"] = float(v)
+        for mod in ("encoder", "decoder"):
+            if isinstance(pg.get(mod), dict) and "sigmas" in pg[mod]:
+                for i, v in enumerate(np.asarray(pg[mod]["sigmas"])):
+                    scalars[f"{mod[:3]}_sigma_{i}"] = float(v)
+
+    # ------------------------------------------------------------------
+    def validate(self, loader, epoch: int) -> float:
+        """L1 + LPIPS over the val set (reference: train_favae.py:180-231)."""
+        totals = {"loss_l1": 0.0, "loss_perceptual": 0.0, "loss_recon": 0.0}
+        n = 0
+        last = None
+        for x in loader:
+            out = self.eval_step(self.state, self._place(x))
+            b = x.shape[0]
+            for k in totals:
+                totals[k] += float(out[k]) * b
+            n += b
+            last = (x, out)
+        for k in totals:
+            totals[k] /= max(n, 1)
+        self.writer.scalars("val", totals, epoch)
+        if last is not None:
+            self.writer.recon_grid("val/img-recon", last[0][:4],
+                                   np.asarray(last[1]["x_recon"])[:4], epoch)
+        print0(f"=== validate epoch {epoch}: "
+               + " ".join(f"{k}={v:.4f}" for k, v in totals.items()))
+        return totals["loss_recon"]
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader, val_loader, epochs: Optional[int] = None):
+        epochs = epochs or self.train_cfg.epochs
+        for epoch in range(self.start_epoch, epochs):
+            if self.enable_profiler and epoch == self.start_epoch:
+                jax.profiler.start_trace(self.ckpt.save_dir + "/profile")
+            self.train_epoch(train_loader, epoch)
+            if self.enable_profiler and epoch == self.start_epoch:
+                jax.profiler.stop_trace()
+            score = self.validate(val_loader, epoch) if val_loader else float("inf")
+            self.ckpt.on_epoch_end(epoch, score, self.state)
+        self.writer.close()

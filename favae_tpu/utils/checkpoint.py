@@ -1,0 +1,91 @@
+"""Checkpointing via Orbax: atomic latest/best with full train state.
+
+Replaces the reference's torch.save tmp/rename dance (reference:
+utils.py:108-119) and its latest/best policy (favae_scripts/
+train_favae.py:363-382). Orbax writes are atomic (tmp dir + rename) and
+async-capable; we persist the full functional state (params, both optimizer
+states, codebook EMA state, step) plus a small json of host metadata
+(epoch, best score).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "host_meta.json")
+
+
+def save_checkpoint(path: str, state: Any, meta: Optional[Dict] = None) -> None:
+    """Atomically write `state` (any pytree) + host metadata to `path`."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+    else:
+        old = None
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        with open(_meta_path(path), "w") as f:
+            json.dump(meta, f)
+    if old and os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
+    """Restore a pytree matching `target`'s structure; returns (state, meta)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target)
+    meta: Dict = {}
+    if os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+class CheckpointManager:
+    """latest/best policy mirroring the reference trainer
+    (train_favae.py:363-382)."""
+
+    def __init__(self, save_dir: str, save_every_epoch: int = 1):
+        self.save_dir = os.path.abspath(save_dir)
+        self.save_every_epoch = save_every_epoch
+        self.best_score = float("inf")
+        os.makedirs(self.save_dir, exist_ok=True)
+
+    @property
+    def latest_path(self):
+        return os.path.join(self.save_dir, "latest")
+
+    @property
+    def best_path(self):
+        return os.path.join(self.save_dir, "best")
+
+    def on_epoch_end(self, epoch: int, score: float, state: Any) -> None:
+        meta = {"epoch": epoch + 1, "score": score,
+                "best_score": min(self.best_score, score)}
+        if epoch % self.save_every_epoch == 0:
+            save_checkpoint(self.latest_path, state, meta)
+        if score < self.best_score:
+            self.best_score = score
+            save_checkpoint(self.best_path, state, meta)
+
+    def try_resume(self, target: Any):
+        """Returns (state, meta) from latest if present, else (None, {})."""
+        if os.path.isdir(self.latest_path):
+            state, meta = restore_checkpoint(self.latest_path, target)
+            self.best_score = meta.get("best_score", float("inf"))
+            return state, meta
+        return None, {}

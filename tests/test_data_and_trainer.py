@@ -1,0 +1,145 @@
+"""Data pipeline, checkpointing, and a tiny end-to-end trainer fit."""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import pytest
+
+from favae_tpu.config import (
+    CodecConfig, DiscriminatorConfig, LossConfig, QuantizerConfig,
+    TrainConfig, VQGANConfig, DSL_NONPAIR, FCM_RES,
+)
+from favae_tpu.data.pipeline import DataLoader, PklImageDataset, SyntheticDataset
+from favae_tpu.data.manifest import save_manifest, build_imagenet_manifest
+from favae_tpu.train.favae_trainer import FavaeTrainer
+from favae_tpu.train.schedule import cosine_warmup_lr
+from favae_tpu.utils.checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
+
+
+def test_synthetic_loader_batches():
+    ds = SyntheticDataset(resolution=16, size=20)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 5
+    assert batches[0].shape == (4, 16, 16, 3)
+    assert batches[0].dtype == np.float32
+
+
+def test_loader_sharding_partitions_data():
+    ds = SyntheticDataset(resolution=8, size=32)
+    dl0 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=0, shard_count=2)
+    dl1 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=1, shard_count=2)
+    assert len(dl0) == len(dl1) == 4
+    b0 = next(iter(dl0))
+    b1 = next(iter(dl1))
+    assert not np.allclose(b0, b1)
+
+
+def test_pkl_dataset_with_images_and_corrupt_skip(tmp_path):
+    from PIL import Image
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray((np.random.RandomState(i).rand(20, 24, 3) * 255)
+                        .astype(np.uint8)).save(p)
+        paths.append(str(p))
+    # insert a corrupt entry: the loader must skip to the next readable index
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    manifest = [paths[0], str(bad), paths[2]]
+    mpath = tmp_path / "m.pkl"
+    with open(mpath, "wb") as f:
+        pickle.dump(manifest, f)
+
+    ds = PklImageDataset(str(mpath), resolution=16)
+    x0 = ds.get(0)
+    assert x0.shape == (16, 16, 3)
+    assert x0.min() >= -1.0 and x0.max() <= 1.0
+    x1 = ds.get(1)  # bad -> falls through to entry 2
+    x2 = ds.get(2)
+    np.testing.assert_array_equal(x1, x2)
+
+
+def test_caption_dataset(tmp_path):
+    from PIL import Image
+    p = tmp_path / "img.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+    with open(tmp_path / "m.pkl", "wb") as f:
+        pickle.dump([[str(p), "a face"]], f)
+    ds = PklImageDataset(str(tmp_path / "m.pkl"), resolution=8,
+                         with_captions=True, with_clip_image=True)
+    x, clip_x, cap = ds.get(0)
+    assert x.shape == (8, 8, 3) and clip_x.shape == (224, 224, 3)
+    assert cap == "a face"
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+    bx, bclip, bcaps = next(iter(dl))
+    assert bx.shape == (1, 8, 8, 3) and bcaps == ["a face"]
+
+
+def test_imagenet_manifest_builder(tmp_path):
+    from PIL import Image
+    for cls in ("n01", "n02"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(d / "a.jpg")
+    m = build_imagenet_manifest(str(tmp_path), "train")
+    assert len(m) == 2 and m[0].endswith("a.jpg")
+
+
+def test_cosine_warmup_schedule():
+    kw = dict(warmup_epochs=2, epochs=10, lr=1.0, min_lr=0.1)
+    assert cosine_warmup_lr(0.0, **kw) == 0.0
+    assert abs(cosine_warmup_lr(1.0, **kw) - 0.5) < 1e-9
+    assert abs(cosine_warmup_lr(2.0, **kw) - 1.0) < 1e-9
+    assert abs(cosine_warmup_lr(10.0, **kw) - 0.1) < 1e-9
+    assert cosine_warmup_lr(5.0, enabled=False, **kw) == 1.0
+
+
+def tiny_setup(tmp_path):
+    model_cfg = VQGANConfig(
+        codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), resolution=32, z_channels=64),
+        quantizer=QuantizerConfig(codebook_size=32, dim=64, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=2),
+        fcm_kind=FCM_RES, dsl_mode=DSL_NONPAIR, compute_dtype="float32",
+    )
+    loss_cfg = LossConfig(gaussian_kernel=3, dsl_init_sigma=1.0,
+                          disc_start_epochs=1, ffl_start_epochs=0)
+    train_cfg = TrainConfig(batch_size=8, epochs=2, print_steps=1, img_steps=100)
+    return FavaeTrainer(model_cfg, loss_cfg, train_cfg, str(tmp_path / "ckpt"))
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    trainer = tiny_setup(tmp_path)
+    ds = SyntheticDataset(resolution=32, size=16)
+    train_dl = DataLoader(ds, batch_size=8, num_workers=1)
+    val_dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+    trainer.fit(train_dl, val_dl, epochs=2)  # epoch 0: no disc; epoch 1: disc
+
+    assert os.path.isdir(trainer.ckpt.latest_path)
+    assert os.path.isdir(trainer.ckpt.best_path)
+
+    # resume round-trip into a fresh trainer
+    trainer2 = tiny_setup(tmp_path)
+    trainer2.resume()
+    assert trainer2.start_epoch == 2
+    a = jax.tree_util.tree_leaves(trainer.state.params_g)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params_g)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_atomic_roundtrip(tmp_path):
+    state = {"a": np.arange(5, dtype=np.float32), "b": {"c": np.zeros((), np.float32)}}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, state, {"epoch": 3})
+    restored, meta = restore_checkpoint(p, state)
+    np.testing.assert_array_equal(restored["a"], state["a"])
+    assert meta["epoch"] == 3
+    # overwrite must be atomic-ish (old removed, new valid)
+    state2 = {"a": np.ones(5, dtype=np.float32), "b": {"c": np.ones((), np.float32)}}
+    save_checkpoint(p, state2, {"epoch": 4})
+    restored2, meta2 = restore_checkpoint(p, state2)
+    np.testing.assert_array_equal(restored2["a"], state2["a"])
+    assert meta2["epoch"] == 4

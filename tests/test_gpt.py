@@ -1,0 +1,144 @@
+"""CAT GPT tests: shapes, causality, CFG, top-k/top-p filtering, and
+KV-cache sampling equivalence against the no-cache reference algorithm."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from favae_tpu.config import GPTConfig
+from favae_tpu.models.gpt import GPT, gumbel_sample, top_k_top_p_filter
+
+
+def tiny_gpt(**kw):
+    cfg = GPTConfig(vocab_size=32, n_layer=2, n_embed=64, n_head=4,
+                    dim_head=16, image_encoded_dim=4, n_cond_embed=24,
+                    dropout=0.0, max_text_len=8, **kw)
+    return GPT(cfg, dtype=jnp.float32), cfg
+
+
+def make_inputs(cfg, b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    n = cfg.image_encoded_dim ** 2
+    ids = rng.randint(0, cfg.vocab_size, (b, n - 1)).astype(np.int32)
+    text = rng.randn(b, 6, cfg.n_cond_embed).astype(np.float32)
+    mask = np.ones((b, 6), bool)
+    mask[1, 4:] = False
+    return jnp.asarray(ids), jnp.asarray(text), jnp.asarray(mask)
+
+
+def test_forward_shapes_and_finite():
+    model, cfg = tiny_gpt()
+    ids, text, mask = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                        cond_drop_prob=0.0)
+    logits = model.apply(params, ids, text, mask, cond_drop_prob=0.0)
+    assert logits.shape == (2, cfg.image_encoded_dim ** 2, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_causality():
+    """Changing token t must not affect logits at positions <= t."""
+    model, cfg = tiny_gpt()
+    ids, text, mask = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                        cond_drop_prob=0.0)
+    base = np.asarray(model.apply(params, ids, text, mask, cond_drop_prob=0.0))
+    ids2 = np.asarray(ids).copy()
+    t = 7
+    ids2[:, t] = (ids2[:, t] + 1) % cfg.vocab_size
+    pert = np.asarray(model.apply(params, jnp.asarray(ids2), text, mask,
+                                  cond_drop_prob=0.0))
+    # positions 0..t correspond to predictions from prefix tokens < t+1
+    np.testing.assert_allclose(base[:, : t + 1], pert[:, : t + 1], atol=1e-5)
+    assert not np.allclose(base[:, t + 1], pert[:, t + 1])
+
+
+def test_cfg_scale_one_equals_cond():
+    model, cfg = tiny_gpt()
+    ids, text, mask = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                        cond_drop_prob=0.0)
+    cond = model.apply(params, ids, text, mask, cond_drop_prob=0.0)
+    cfg1 = model.apply(params, ids, text, mask, cond_scale=1.0,
+                       method=GPT.forward_with_cond_scale)
+    np.testing.assert_allclose(np.asarray(cond), np.asarray(cfg1), atol=1e-6)
+
+    cfg3 = model.apply(params, ids, text, mask, cond_scale=3.0,
+                       method=GPT.forward_with_cond_scale)
+    assert not np.allclose(np.asarray(cond), np.asarray(cfg3))
+
+
+def test_text_mask_blocks_conditioning():
+    """All-false text mask == cond_drop_prob=1: only the null kv attends."""
+    model, cfg = tiny_gpt()
+    ids, text, mask = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                        cond_drop_prob=0.0)
+    null1 = model.apply(params, ids, text, jnp.zeros_like(mask),
+                        cond_drop_prob=0.0)
+    null2 = model.apply(params, ids, text * 100.0, jnp.zeros_like(mask),
+                        cond_drop_prob=0.0)
+    np.testing.assert_allclose(np.asarray(null1), np.asarray(null2), atol=1e-5)
+
+
+def test_top_k_top_p_filter_matches_torch_semantics():
+    import torch
+    rng = np.random.RandomState(3)
+    logits = rng.randn(4, 50).astype(np.float32)
+
+    ours = np.asarray(top_k_top_p_filter(jnp.asarray(logits), top_k=10,
+                                         top_p=0.8))
+
+    t = torch.from_numpy(logits.copy())
+    v, _ = torch.topk(t, 10)
+    t[t < v[..., [-1]]] = -torch.inf
+    sorted_logits, sorted_idx = torch.sort(t, descending=True)
+    probs = torch.softmax(sorted_logits, dim=-1)
+    cum = torch.cumsum(probs, dim=-1)
+    m = cum > 0.8
+    m[..., 1:] = m[..., :-1].clone()
+    m[..., 0] = 0
+    m = m.scatter(1, sorted_idx, m)
+    t[m] = -torch.inf
+    ref = t.numpy()
+
+    kept_ours = ours > -1e8
+    kept_ref = np.isfinite(ref)
+    np.testing.assert_array_equal(kept_ours, kept_ref)
+    np.testing.assert_allclose(np.where(kept_ours, ours, 0),
+                               np.where(kept_ref, ref, 0), atol=1e-6)
+
+
+def _slow_sample(model, params, cfg, text, mask, rng, top_k, top_p,
+                 cond_scale):
+    """Reference algorithm: full re-forward per token, no cache
+    (reference: gpt_ca.py:343-367), with the same per-step RNG stream the
+    cached sampler uses."""
+    b = text.shape[0]
+    tokens = jnp.zeros((b, 0), jnp.int32)
+    key = rng
+    for _pos in range(cfg.image_encoded_dim ** 2):
+        logits = model.apply(params, tokens, text, mask,
+                             cond_scale=cond_scale,
+                             method=GPT.forward_with_cond_scale)[:, -1]
+        logits = top_k_top_p_filter(logits, top_k, top_p)
+        key, sub = jax.random.split(key)
+        tok = gumbel_sample(logits, sub, 1.0)
+        tokens = jnp.concatenate([tokens, tok[:, None].astype(jnp.int32)], 1)
+    return tokens.reshape(b, cfg.image_encoded_dim, cfg.image_encoded_dim)
+
+
+@pytest.mark.parametrize("top_k,top_p,cond_scale", [
+    (None, 1.0, 1.0), (8, 0.9, 3.0)])
+def test_kv_cache_sampling_matches_no_cache(top_k, top_p, cond_scale):
+    model, cfg = tiny_gpt()
+    ids, text, mask = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                        cond_drop_prob=0.0)
+    rng = jax.random.PRNGKey(42)
+    fast = model.apply(params, text, mask, rng=rng, top_k=top_k, top_p=top_p,
+                       cond_scale=cond_scale, method=GPT.sample)
+    slow = _slow_sample(model, params, cfg, text, mask, rng, top_k, top_p,
+                        cond_scale)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))

@@ -1,0 +1,127 @@
+"""Checkpoint-conversion parity: reference torch VQGANFCM vs favae_tpu.
+
+Loads the reference implementation (mounted read-only at /root/reference) as a
+numerical oracle, converts its randomly-initialized state_dict through
+`convert_favae`, and asserts reconstruction equivalence. Skipped when the
+reference isn't available.
+
+Resolution 64 keeps CPU time sane; the weight-tree mapping logic is identical
+at any resolution.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference repo not mounted")
+
+
+def _build_reference(fcm_flags, codebook_size=64, embed_dim=256, res=64):
+    sys.path.insert(0, REF)
+    try:
+        import torch
+        from models.vqgan_fcm import VQGANFCM as TorchVQGAN
+        torch.manual_seed(0)
+        model = TorchVQGAN(
+            codebook_size, embed_dim, False, ch_mult=(1, 1, 2, 2, 4),
+            attn_resolutions=[16], use_cosine_sim=True, codebook_dim=None,
+            use_l2_quantizer=True, sync_codebook=False, commitment_weight=1.0,
+            kernel_size=9, dsl_init_sigma=3.0, device="cpu",
+            num_groups=32, inference=True, **fcm_flags)
+        return model.eval()
+    finally:
+        sys.path.remove(REF)
+
+
+def _jax_cfg(fcm_kind, dsl_mode, codebook_size=64, embed_dim=256, res=64):
+    from favae_tpu.config import (CodecConfig, DiscriminatorConfig,
+                                  QuantizerConfig, VQGANConfig)
+    # resolution stays 256: it only determines attn-block placement, and the
+    # reference encoder hard-codes 256 regardless of actual input size
+    return VQGANConfig(
+        codec=CodecConfig(ch_mult=(1, 1, 2, 2, 4), attn_resolutions=(16,),
+                          resolution=256, z_channels=embed_dim),
+        quantizer=QuantizerConfig(codebook_size=codebook_size, dim=embed_dim,
+                                  use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=3),
+        fcm_kind=fcm_kind, dsl_mode=dsl_mode, compute_dtype="float32")
+
+
+@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode", [
+    (dict(use_gauss_resblock=True), "res", "nonpair"),      # expe_5
+    (dict(use_same_conv_gauss=True), "conv", "pair"),       # FFHQ/ImageNet
+])
+def test_reconstruction_parity(torch_flags, fcm_kind, dsl_mode):
+    import torch
+    from favae_tpu.models.quantizer import CodebookState
+    from favae_tpu.models.vqgan import VQGANFCM
+    from favae_tpu.utils.torch_convert import convert_favae
+
+    tmodel = _build_reference(torch_flags)
+    cfg = _jax_cfg(fcm_kind, dsl_mode)
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats, cb = convert_favae(sd, cfg)
+    cb = CodebookState(embed=jnp.asarray(cb.embed),
+                       cluster_size=jnp.asarray(cb.cluster_size),
+                       embed_avg=jnp.asarray(cb.embed_avg))
+
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        z_q_t, loss_q_t, idx_t, _ = tmodel.encode(xt)
+        x_rec_t, _ = tmodel.decode(z_q_t)
+    ref_recon = x_rec_t.numpy().transpose(0, 2, 3, 1)
+    ref_idx = idx_t.numpy().reshape(-1)
+
+    model = VQGANFCM(cfg, gaussian_kernel=9, dsl_init_sigma=3.0)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    z_q, loss_q, idx, _, _ = model.apply(
+        variables, jnp.asarray(x), cb, train=False, inference=True,
+        method=VQGANFCM.encode)
+    x_recon, _, _ = model.apply(variables, z_q, train=False, inference=True,
+                                method=VQGANFCM.decode)
+
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1), ref_idx)
+    err = np.max(np.abs(np.asarray(x_recon) - ref_recon))
+    assert err < 5e-4, f"max recon err {err}"
+
+
+def test_lpips_converter_shapes():
+    """convert_lpips maps a synthetic torch-layout state dict onto the flax
+    LPIPS tree and the module accepts it."""
+    import numpy as np
+    from favae_tpu.models.lpips import LPIPS, LPIPS_CHANNELS
+    from favae_tpu.utils.torch_convert import convert_lpips, _VGG_SLICE_CONV_IDX
+
+    rng = np.random.RandomState(0)
+    sd = {}
+    in_c = 3
+    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    ci = 0
+    for s, idxs in _VGG_SLICE_CONV_IDX:
+        for idx in idxs:
+            c = chans[ci]
+            sd[f"net.slice{s}.{idx}.weight"] = rng.randn(c, in_c, 3, 3).astype(np.float32)
+            sd[f"net.slice{s}.{idx}.bias"] = rng.randn(c).astype(np.float32)
+            in_c = c
+            ci += 1
+    for k, c in enumerate(LPIPS_CHANNELS):
+        sd[f"lin{k}.model.1.weight"] = np.abs(rng.randn(1, c, 1, 1)).astype(np.float32)
+
+    params = convert_lpips(sd)
+    lpips = LPIPS(dtype=jnp.float32)
+    a = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    d = lpips.apply({"params": params}, a, a * 0.5)
+    assert d.shape == (1,) and np.isfinite(float(d[0]))
