@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
+
+from favae_tpu.utils.xla_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from favae_tpu.config import TrainConfig, celebahq_expe5, celebahq_expe5_losses

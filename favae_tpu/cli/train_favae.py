@@ -150,6 +150,8 @@ def config_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from favae_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
     model_cfg, loss_cfg, train_cfg = config_from_args(args)
 
     save_path = os.path.join("output", args.ds)

@@ -1,0 +1,23 @@
+"""Persistent XLA compilation cache.
+
+First compiles of the full train step take minutes through the TPU relay;
+caching compiled executables on disk makes every subsequent process start
+fast. Called by the CLIs, bench.py and __graft_entry__.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(path: str = None) -> None:
+    import jax
+
+    path = path or os.environ.get(
+        "FAVAE_XLA_CACHE", os.path.expanduser("~/.cache/favae_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the flags
