@@ -13,9 +13,14 @@ reference: models/gpt_ca.py. Decoder-only GPT over the FA-VAE token grid with:
 * dropout applied to the inputs of the q and kv projections only (:175-191 —
   the reference's FeedForward ignores its dropout argument).
 
-TPU-native upgrade: `sample` runs a `lax.scan` with per-layer KV caches (the
-reference re-forwards the whole prefix per token, gpt_ca.py:352-363) while
-remaining output-equivalent under CFG + top-k/top-p + gumbel sampling.
+TPU-native design choices:
+* the layer stack is an `nn.scan` over one CATBlock with stacked parameters —
+  XLA compiles a single block body instead of n_layer copies (the 24-layer
+  reference graph otherwise takes many minutes through the compile service);
+* `sample` runs a `lax.scan` over positions with per-layer KV caches (the
+  reference re-forwards the whole prefix per token, gpt_ca.py:352-363) and
+  batches the two CFG branches into one 2B forward, while remaining
+  output-equivalent under CFG + top-k/top-p + gumbel sampling.
 """
 
 from __future__ import annotations
@@ -31,13 +36,6 @@ from flax import linen as nn
 from favae_tpu.config import GPTConfig
 
 NEG_INF = -1e9  # large negative in place of -finfo.max (bf16-safe)
-
-
-def _dropout(x, rate, rng):
-    """Inverted dropout, torch semantics (applied to the q/kv projection
-    inputs only — reference: gpt_ca.py:175-191)."""
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
 class FixedBetaLayerNorm(nn.Module):
@@ -71,8 +69,7 @@ class RelPosBias2d(nn.Module):
         null kv and gets zero bias (the reference left-pads, :135).
 
         With `row_offset` (incremental decoding, i == 1) the single query row
-        is taken at dynamic position `row_offset`.
-        """
+        is taken at dynamic position `row_offset`."""
         table = nn.Embed((2 * self.size - 1) ** 2, self.heads,
                          embedding_init=nn.initializers.normal(1.0),
                          name="pos_bias")
@@ -109,33 +106,15 @@ class MultiQueryAttention(nn.Module):
                                   (self.dim_head,))
         self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)
         self.out_norm = FixedBetaLayerNorm()
+        if self.dropout > 0.0:
+            self.drop_q = nn.Dropout(self.dropout)
+            self.drop_kv = nn.Dropout(self.dropout)
         if self.rel_pos_size is not None:
             self.rel_pos_bias = RelPosBias2d(self.rel_pos_size, self.heads)
 
-    def _qkv(self, x, context, train, drop_rng):
-        x = self.norm(x).astype(self.dtype)
-        if self.dropout > 0.0 and train and drop_rng is not None:
-            kq, kkv = jax.random.split(drop_rng)
-            x_q = _dropout(x, self.dropout, kq)
-        else:
-            x_q = x
-        q = self.to_q(x_q) * (self.dim_head ** -0.5)
-        b, n, _ = q.shape
-        q = q.reshape(b, n, self.heads, self.dim_head)
-
-        ctx = x if context is None else context.astype(self.dtype)
-        if self.dropout > 0.0 and train and drop_rng is not None:
-            ctx = _dropout(ctx, self.dropout, kkv)
-        kv = self.to_kv(ctx)  # (b, m, dim_head) single head
-        return q, kv
-
     def _attend(self, q, kv, *, context_mask=None, causal_offset=None,
                 rel_bias=None):
-        """q (b, n, h, d); kv (b, m, d) WITHOUT null; returns (b, n, h*d).
-
-        context_mask: (b, m) True = attend. causal_offset: static or traced
-        row offset of query 0 (None = not causal).
-        """
+        """q (b, n, h, d); kv (b, m, d) WITHOUT null; returns (b, n, h*d)."""
         b = q.shape[0]
         null = jnp.broadcast_to(self.null_kv.astype(kv.dtype),
                                 (b, 1, self.dim_head))
@@ -158,16 +137,25 @@ class MultiQueryAttention(nn.Module):
 
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhnm,bmd->bnhd", attn.astype(kv_full.dtype), kv_full)
-        out = out.reshape(b, q.shape[1], self.heads * self.dim_head)
-        return out
+        return out.reshape(b, q.shape[1], self.heads * self.dim_head)
 
     def __call__(self, x, *, context=None, context_mask=None,
-                 train: bool = False, drop_rng: Optional[jax.Array] = None):
-        q, kv = self._qkv(x, context, train, drop_rng)
+                 deterministic: bool = True):
+        x_n = self.norm(x).astype(self.dtype)
+        x_q = (self.drop_q(x_n, deterministic=deterministic)
+               if self.dropout > 0.0 else x_n)
+        q = self.to_q(x_q) * (self.dim_head ** -0.5)
+        b, n, _ = q.shape
+        q = q.reshape(b, n, self.heads, self.dim_head)
+
+        ctx = x_n if context is None else context.astype(self.dtype)
+        if self.dropout > 0.0:
+            ctx = self.drop_kv(ctx, deterministic=deterministic)
+        kv = self.to_kv(ctx)  # (b, m, dim_head) single head
+
         rel_bias = None
         if self.rel_pos_size is not None:
-            n, m = q.shape[1], kv.shape[1] + 1
-            rel_bias = self.rel_pos_bias(n, m)[None]
+            rel_bias = self.rel_pos_bias(n, kv.shape[1] + 1)[None]
         out = self._attend(
             q, kv, context_mask=context_mask,
             causal_offset=0 if self.causal else None, rel_bias=rel_bias)
@@ -182,7 +170,7 @@ class MultiQueryAttention(nn.Module):
         """One causal self-attention step. x_t (b, 1, dim); kv_cache
         (b, L, dim_head) with rows >= pos unfilled; returns (out, new_cache)."""
         x_n = self.norm(x_t).astype(self.dtype)
-        q = (self.to_q(x_n) * (self.dim_head ** -0.5))
+        q = self.to_q(x_n) * (self.dim_head ** -0.5)
         b = q.shape[0]
         q = q.reshape(b, 1, self.heads, self.dim_head)
         kv_t = self.to_kv(x_n)  # (b, 1, d)
@@ -192,7 +180,6 @@ class MultiQueryAttention(nn.Module):
         if self.rel_pos_size is not None:
             m = kv_cache.shape[1] + 1
             rel_bias = self.rel_pos_bias(1, m, row_offset=pos)[None]
-        # mask: attend null + positions <= pos
         mask = jnp.arange(kv_cache.shape[1])[None, :] <= pos
         mask = jnp.broadcast_to(mask, (b, kv_cache.shape[1]))
         out = self._attend(q, kv_cache, context_mask=mask, rel_bias=rel_bias)
@@ -202,7 +189,7 @@ class MultiQueryAttention(nn.Module):
     def cross_step(self, x_t, kv, context_mask):
         """One cross-attention step against precomputed kv."""
         x_n = self.norm(x_t).astype(self.dtype)
-        q = (self.to_q(x_n) * (self.dim_head ** -0.5))
+        q = self.to_q(x_n) * (self.dim_head ** -0.5)
         b = q.shape[0]
         q = q.reshape(b, 1, self.heads, self.dim_head)
         out = self._attend(q, kv, context_mask=context_mask)
@@ -228,6 +215,63 @@ class FeedForward(nn.Module):
         return h.astype(x.dtype)
 
 
+class CATBlock(nn.Module):
+    """One transformer layer: causal self-attn, cross-attn, feed-forward
+    (reference: gpt_ca.py:268-274,320-323). Scanned over n_layer with stacked
+    parameters; `deterministic` gates the projection-input dropout."""
+
+    cfg: GPTConfig
+    deterministic: bool = True
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = MultiQueryAttention(
+            c.n_embed, c.n_head, c.dim_head, causal=True,
+            rel_pos_size=c.image_encoded_dim, dropout=c.dropout,
+            dtype=self.dtype)
+        self.cross_attn = MultiQueryAttention(
+            c.n_embed, c.n_head, c.dim_head, causal=False,
+            context_dim=c.n_cond_embed, dropout=c.dropout, dtype=self.dtype)
+        self.ff = FeedForward(c.n_embed, dtype=self.dtype)
+
+    def __call__(self, x, context, context_mask):
+        det = self.deterministic
+        x = self.self_attn(x, deterministic=det) + x
+        x = self.cross_attn(x, context=context, context_mask=context_mask,
+                            deterministic=det) + x
+        x = self.ff(x) + x
+        return x, None
+
+    def decode(self, x, cache, cross_kv, context_mask, pos):
+        """Incremental step: carry x (b, 1, dim); scanned cache (b, L, d) and
+        cross_kv (b, m, d); returns (x, new_cache)."""
+        h, cache = self.self_attn.decode_step(x, cache, pos)
+        x = h + x
+        x = self.cross_attn.cross_step(x, cross_kv, context_mask) + x
+        x = self.ff(x) + x
+        return x, cache
+
+    def kv(self, carry, context):
+        """Per-layer cross-attention kv precompute (scanned output)."""
+        return carry, self.cross_attn.project_kv(context)
+
+
+def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None):
+    common = dict(variable_axes={"params": 0},
+                  split_rngs={"params": True, "dropout": True},
+                  length=cfg.n_layer)
+    Scanned = nn.scan(
+        CATBlock,
+        methods={
+            "__call__": dict(in_axes=(nn.broadcast, nn.broadcast), **common),
+            "decode": dict(in_axes=(0, 0, nn.broadcast, nn.broadcast),
+                           out_axes=0, **common),
+            "kv": dict(in_axes=(nn.broadcast,), out_axes=0, **common),
+        })
+    return Scanned(cfg, deterministic=deterministic, dtype=dtype, name=name)
+
+
 class GPT(nn.Module):
     """reference: models/gpt_ca.py:250-393."""
 
@@ -244,26 +288,21 @@ class GPT(nn.Module):
         self.axial_width_pos = self.param(
             "axial_width_pos", nn.initializers.normal(1.0),
             (c.image_encoded_dim, c.n_embed))
-        self.cond_proj = nn.Dense(c.n_embed, dtype=self.dtype)
         self.start_token = self.param(
             "start_token", nn.initializers.normal(1.0), (c.n_embed,))
         self.init_norm = FixedBetaLayerNorm()
         self.final_norm = FixedBetaLayerNorm()
 
-        blocks = []
-        for i in range(c.n_layer):
-            blocks.append((
-                MultiQueryAttention(
-                    c.n_embed, c.n_head, c.dim_head, causal=True,
-                    rel_pos_size=c.image_encoded_dim, dropout=c.dropout,
-                    dtype=self.dtype, name=f"self_attn_{i}"),
-                MultiQueryAttention(
-                    c.n_embed, c.n_head, c.dim_head, causal=False,
-                    context_dim=c.n_cond_embed, dropout=c.dropout,
-                    dtype=self.dtype, name=f"cross_attn_{i}"),
-                FeedForward(c.n_embed, dtype=self.dtype, name=f"ff_{i}"),
-            ))
-        self.blocks = blocks
+        # one block, scanned; train/eval/decode variants share the scope
+        self.blocks = _scan_blocks(c, deterministic=False, dtype=self.dtype,
+                                   name="blocks")
+        self.blocks_eval = _scan_blocks(c, deterministic=True, dtype=self.dtype)
+        self.blocks_decode = _scan_blocks(c, deterministic=True,
+                                          dtype=self.dtype)
+        self.blocks_kv = _scan_blocks(c, deterministic=True, dtype=self.dtype)
+        nn.share_scope(self.blocks_eval, self.blocks)
+        nn.share_scope(self.blocks_decode, self.blocks)
+        nn.share_scope(self.blocks_kv, self.blocks)
 
     # ------------------------------------------------------------------
     def _axial_pos(self):
@@ -306,27 +345,19 @@ class GPT(nn.Module):
                 jax.random.fold_in(rng, 17), (x.shape[0],)) < 1.0 - cond_drop_prob
             text_mask = keep[:, None] & text_mask
 
-        ctx = self.cond_proj(text_token_embeds.astype(self.dtype))
-        # NOTE: the reference passes raw CLIP embeds to to_kv via context_dim;
-        # cond_proj exists but is unused there (gpt_ca.py:259 vs :322). We
-        # keep cond_proj applied=False for parity: context enters to_kv raw.
-        del ctx
+        # NOTE: the reference defines a cond_proj Linear but never calls it
+        # (gpt_ca.py:259 vs :322) — context enters to_kv raw. That dead param
+        # is omitted here; the checkpoint converter skips it.
 
         x = self.init_norm(x).astype(self.dtype)
-        drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
-        for i, (sa, ca, ff) in enumerate(self.blocks):
-            kd = jax.random.fold_in(drop_rng, i)
-            x = sa(x, train=train, drop_rng=jax.random.fold_in(kd, 0)) + x
-            x = ca(x, context=text_token_embeds, context_mask=text_mask,
-                   train=train, drop_rng=jax.random.fold_in(kd, 1)) + x
-            x = ff(x) + x
+        blocks = self.blocks if train else self.blocks_eval
+        x, _ = blocks(x, text_token_embeds.astype(jnp.float32), text_mask)
         x = self.final_norm(x)
         return self._logits(x)
 
     def forward_with_cond_scale(self, image_token_ids, text_token_embeds,
                                 text_mask, cond_scale: float = 3.0):
-        """CFG-combined logits (reference: gpt_ca.py:334-341), batched as one
-        2B forward instead of two B forwards."""
+        """CFG-combined logits (reference: gpt_ca.py:334-341)."""
         logits = self(image_token_ids, text_token_embeds, text_mask,
                       cond_drop_prob=0.0, train=False)
         if cond_scale == 1:
@@ -345,8 +376,7 @@ class GPT(nn.Module):
         re-forwards the full prefix per token without a cache).
 
         CFG runs as a 2B batch: rows [0:B] conditional, [B:2B] null.
-        Returns (b, grid, grid) int32 token grid.
-        """
+        Returns (b, grid, grid) int32 token grid."""
         c = self.cfg
         b = text_token_embeds.shape[0]
         seq_len = c.image_encoded_dim ** 2
@@ -354,34 +384,25 @@ class GPT(nn.Module):
         text_token_embeds = text_token_embeds[:, : c.max_text_len]
         text_mask = text_mask[:, : c.max_text_len]
         ctx2 = jnp.concatenate([text_token_embeds, text_token_embeds], 0)
-        mask2 = jnp.concatenate(
-            [text_mask, jnp.zeros_like(text_mask)], 0)
+        ctx2 = ctx2.astype(jnp.float32)
+        mask2 = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], 0)
 
-        # precompute per-layer cross kv
-        cross_kv = [ca.project_kv(ctx2) for (_sa, ca, _ff) in self.blocks]
+        # per-layer cross kv, stacked (L, 2b, m, d)
+        _, cross_kv = self.blocks_kv.kv(jnp.zeros((), jnp.float32), ctx2)
 
-        cache_dtype = self.dtype
-        sa_caches = [jnp.zeros((2 * b, seq_len, c.dim_head), cache_dtype)
-                     for _ in range(c.n_layer)]
+        caches = jnp.zeros((c.n_layer, 2 * b, seq_len, c.dim_head), self.dtype)
         axial = self._axial_pos()
 
         def step_logits(tok_prev, pos, caches):
-            """Forward ONE position. tok_prev (2b,) previous token id (unused
-            at pos 0 where the start token is injected)."""
             emb_tok = self.tok_emb(tok_prev) + axial[jnp.maximum(pos - 1, 0)]
             start = jnp.broadcast_to(self.start_token[None, :],
                                      (2 * b, c.n_embed))
             x = jnp.where(pos == 0, start, emb_tok.astype(start.dtype))
             x = self.init_norm(x)[:, None, :].astype(self.dtype)
-            new_caches = []
-            for i, (sa, ca, ff) in enumerate(self.blocks):
-                h, cache_i = sa.decode_step(x, caches[i], pos)
-                x = h + x
-                x = ca.cross_step(x, cross_kv[i], mask2) + x
-                x = ff(x) + x
-                new_caches.append(cache_i)
+            x, caches = self.blocks_decode.decode(x, caches, cross_kv, mask2,
+                                                  pos)
             x = self.final_norm(x[:, 0, :])
-            return self._logits(x[:, None, :])[:, 0], new_caches
+            return self._logits(x[:, None, :])[:, 0], caches
 
         def body(carry, pos):
             tok_prev, caches, key = carry
@@ -396,7 +417,7 @@ class GPT(nn.Module):
             return (tok2, caches, key), tok
 
         (_, _, _), tokens = jax.lax.scan(
-            body, (jnp.zeros((2 * b,), jnp.int32), sa_caches, rng),
+            body, (jnp.zeros((2 * b,), jnp.int32), caches, rng),
             jnp.arange(seq_len))
         tokens = jnp.transpose(tokens)  # (b, seq_len)
         g = c.image_encoded_dim
@@ -420,11 +441,10 @@ def top_k_top_p_filter(logits, top_k: Optional[int] = None,
         sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        mask = cum > top_p
         # shift right: always keep the first token above threshold
+        mask = cum > top_p
         mask = jnp.concatenate(
             [jnp.zeros_like(mask[..., :1]), mask[..., :-1]], axis=-1)
-        # scatter back to original order
         inv = jnp.argsort(sort_idx, axis=-1)
         mask = jnp.take_along_axis(mask, inv, axis=-1)
         logits = jnp.where(mask, NEG_INF, logits)

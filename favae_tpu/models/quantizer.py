@@ -135,9 +135,25 @@ def kmeans(rng, samples, num_clusters: int, num_iters: int = 10,
     return means, bins
 
 
+def _use_pallas_lookup(n: int, k: int) -> bool:
+    """Auto-enable the fused Pallas lookup on TPU for large codebooks, where
+    the XLA path would materialize an (N, K) score matrix."""
+    if jax.default_backend() != "tpu":
+        return False
+    return n * k >= 1 << 22  # ~4M scores and up
+
+
 def _nearest_codes(flatten: jax.Array, embed: jax.Array, use_cosine: bool,
                    rng: Optional[jax.Array], temperature: float) -> jax.Array:
     """Indices of nearest codebook entries. flatten (N, D), embed (K, D)."""
+    n, _ = flatten.shape
+    k = embed.shape[0]
+    if temperature == 0.0 and _use_pallas_lookup(n, k):
+        from favae_tpu.ops.vq_pallas import (vq_nearest_cosine,
+                                             vq_nearest_euclidean)
+        if use_cosine:
+            return vq_nearest_cosine(flatten, embed)
+        return vq_nearest_euclidean(flatten, embed)
     if use_cosine:
         dist = flatten @ embed.T  # both l2-normalized by caller
     else:

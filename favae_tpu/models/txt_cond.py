@@ -78,7 +78,8 @@ class CATModel:
         logits = self.gpt.apply(
             {"params": gpt_params}, inp, embeds, mask,
             cond_drop_prob=self.cfg.gpt.cond_drop_prob if train else 0.0,
-            train=train, rng=rng)
+            train=train, rng=rng,
+            rngs={"dropout": jax.random.fold_in(rng, 1)} if train else None)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, z[..., None], axis=-1)[..., 0]
         return jnp.mean(nll)

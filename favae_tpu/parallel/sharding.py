@@ -18,22 +18,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def gpt_param_pspec(path) -> P:
+def gpt_param_pspec(path, leaf) -> P:
     keys = [getattr(p, "key", "") for p in path]
     name = keys[-1] if keys else ""
-    joined = "/".join(keys)
     if name != "kernel":
         return P()  # embeddings, norms, biases, null_kv: replicated
+    # scanned layer stacks carry a leading (n_layer,) axis on every leaf
+    lead = (None,) * (getattr(leaf, "ndim", 2) - 2)
     if "to_q" in keys or "fc1" in keys:
-        return P(None, "tp")   # column parallel
+        return P(*lead, None, "tp")   # column parallel
     if "to_out" in keys or "fc2" in keys:
-        return P("tp", None)   # row parallel
-    return P()                 # to_kv, cond_proj: replicated
+        return P(*lead, "tp", None)   # row parallel
+    return P()                        # to_kv, cond_proj: replicated
 
 
 def gpt_param_shardings(params: Any, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
-        lambda path, _x: NamedSharding(mesh, gpt_param_pspec(path)), params)
+        lambda path, x: NamedSharding(mesh, gpt_param_pspec(path, x)), params)
 
 
 def shard_gpt_params(params: Any, mesh: Mesh):

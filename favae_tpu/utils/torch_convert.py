@@ -324,7 +324,9 @@ def convert_cat_gpt(path_or_sd, n_layer: int = 24) -> Dict[str, Any]:
 
     torch blocks.{i}.{0,1,2} = (causal self-attn, cross-attn, feed-forward);
     to_q/to_kv/to_out are Sequentials with the Linear at index 1
-    (gpt_ca.py:175-197); to_out's trailing LayerNorm at index 2.
+    (gpt_ca.py:175-197); to_out's trailing LayerNorm at index 2. The rebuild
+    scans one block over the layer axis, so every per-layer leaf is stacked
+    along a leading (n_layer,) dim.
     """
     import torch
     if isinstance(path_or_sd, str):
@@ -335,9 +337,9 @@ def convert_cat_gpt(path_or_sd, n_layer: int = 24) -> Dict[str, Any]:
     else:
         sd = path_or_sd
 
-    def attn(pre, with_rel_pos):
+    def attn_layer(pre, with_rel_pos):
         out = {
-            "norm": _fixed_ln(sd, pre + ".norm"),
+            "norm": {"ln": {"scale": sd[pre + ".norm.gamma"]}},
             "to_q": {"kernel": sd[pre + ".to_q.1.weight"].T},
             "to_kv": {"kernel": sd[pre + ".to_kv.1.weight"].T},
             "null_kv": sd[pre + ".null_kv"],
@@ -349,84 +351,39 @@ def convert_cat_gpt(path_or_sd, n_layer: int = 24) -> Dict[str, Any]:
                 "embedding": sd[pre + ".rel_pos_bias.pos_bias.weight"]}}
         return out
 
+    def ff_layer(pre):
+        return {
+            "norm_in": {"ln": {"scale": sd[pre + ".0.gamma"]}},
+            "fc1": {"kernel": sd[pre + ".1.weight"].T},
+            "norm_mid": {"ln": {"scale": sd[pre + ".3.gamma"]}},
+            "fc2": {"kernel": sd[pre + ".4.weight"].T},
+        }
+
+    layers = []
+    i = 0
+    while f"blocks.{i}.0.norm.gamma" in sd:
+        layers.append({
+            "self_attn": attn_layer(f"blocks.{i}.0", True),
+            "cross_attn": attn_layer(f"blocks.{i}.1", False),
+            "ff": ff_layer(f"blocks.{i}.2"),
+        })
+        i += 1
+    stacked = jax_tree_stack(layers)
+
     p: Dict[str, Any] = {
         "tok_emb": {"embedding": sd["tok_emb.weight"]},
         "axial_height_pos": sd["axial_height_pos"],
         "axial_width_pos": sd["axial_width_pos"],
         "start_token": sd["start_token"],
-        "cond_proj": _linear(sd, "cond_proj"),
-        "init_norm": _fixed_ln(sd, "init_norm"),
-        "final_norm": _fixed_ln(sd, "final_norm"),
+        # reference cond_proj (gpt_ca.py:259) is dead weight — skipped
+        "init_norm": {"ln": {"scale": sd["init_norm.gamma"]}},
+        "final_norm": {"ln": {"scale": sd["final_norm.gamma"]}},
+        "blocks": stacked,
     }
-    i = 0
-    while f"blocks.{i}.0.norm.gamma" in sd:
-        p[f"self_attn_{i}"] = attn(f"blocks.{i}.0", True)
-        p[f"cross_attn_{i}"] = attn(f"blocks.{i}.1", False)
-        p[f"ff_{i}"] = {
-            "norm_in": {"ln": {"scale": sd[f"blocks.{i}.2.0.gamma"]}},
-            "fc1": {"kernel": sd[f"blocks.{i}.2.1.weight"].T},
-            "norm_mid": {"ln": {"scale": sd[f"blocks.{i}.2.3.gamma"]}},
-            "fc2": {"kernel": sd[f"blocks.{i}.2.4.weight"].T},
-        }
-        i += 1
     return _to_f32(p)
 
 
-# ---------------------------------------------------------------------------
-# FID InceptionV3 (pytorch-fid pt_inception-2015-12-05 checkpoint)
-# ---------------------------------------------------------------------------
-
-def convert_inception(path_or_sd) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """pytorch-fid InceptionV3 state_dict -> (params, batch_stats) for
-    favae_tpu.models.inception.InceptionV3FID (reference architecture:
-    losses/inception.py:94-230). The fc layer is dropped (pool3 features)."""
-    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
-
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
-
-    def convbn(torch_prefix, tree_path):
-        node_p = params
-        node_s = stats
-        for k in tree_path[:-1]:
-            node_p = node_p.setdefault(k, {})
-            node_s = node_s.setdefault(k, {})
-        leaf = tree_path[-1]
-        node_p[leaf] = {
-            "conv": {"kernel": sd[torch_prefix + ".conv.weight"]
-                     .transpose(2, 3, 1, 0)},
-            "bn": {"scale": sd[torch_prefix + ".bn.weight"],
-                   "bias": sd[torch_prefix + ".bn.bias"]},
-        }
-        node_s[leaf] = {"bn": {"mean": sd[torch_prefix + ".bn.running_mean"],
-                               "var": sd[torch_prefix + ".bn.running_var"]}}
-
-    for stem in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
-                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"):
-        convbn(stem, (stem,))
-
-    a_branches = ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
-                  "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool")
-    for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        for br in a_branches:
-            convbn(f"{blk}.{br}", (blk, br))
-    for br in ("branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
-               "branch3x3dbl_3"):
-        convbn(f"Mixed_6a.{br}", ("Mixed_6a", br))
-    c_branches = ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
-                  "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
-                  "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool")
-    for blk in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        for br in c_branches:
-            convbn(f"{blk}.{br}", (blk, br))
-    for br in ("branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
-               "branch7x7x3_3", "branch7x7x3_4"):
-        convbn(f"Mixed_7a.{br}", ("Mixed_7a", br))
-    e_branches = ("branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
-                  "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
-                  "branch3x3dbl_3b", "branch_pool")
-    for blk in ("Mixed_7b", "Mixed_7c"):
-        for br in e_branches:
-            convbn(f"{blk}.{br}", (blk, br))
-
-    return _to_f32(params), _to_f32(stats)
+def jax_tree_stack(trees):
+    """Stack a list of identical pytrees along a new leading axis."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)

@@ -148,13 +148,12 @@ def test_decay_mask_rules():
                       jnp.zeros((1, 8, cfg.n_cond_embed)),
                       jnp.ones((1, 8), bool), cond_drop_prob=0.0)["params"]
     mask = decay_mask(params)
+    blocks = mask["blocks"]
     assert mask["tok_emb"]["embedding"] is False
-    assert mask["self_attn_0"]["rel_pos_bias"]["pos_bias"]["embedding"] is False
-    assert mask["cond_proj"]["kernel"] is True
-    assert mask["cond_proj"]["bias"] is False
-    assert mask["self_attn_0"]["to_q"]["kernel"] is True
+    assert blocks["self_attn"]["rel_pos_bias"]["pos_bias"]["embedding"] is False
+    assert blocks["self_attn"]["to_q"]["kernel"] is True
     # reference quirk: custom-LayerNorm gammas and special params DO decay
     assert mask["init_norm"]["ln"]["scale"] is True
     assert mask["axial_height_pos"] is True
     assert mask["start_token"] is True
-    assert mask["self_attn_0"]["null_kv"] is True
+    assert blocks["self_attn"]["null_kv"] is True
