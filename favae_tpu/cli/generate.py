@@ -1,0 +1,108 @@
+"""Text-to-image generation with a trained CAT model.
+
+The reference only samples inside the trainer's log_images
+(cat_scripts/train_cat.py:102-107); this standalone CLI is the user-facing
+generation tool.
+
+    python -m favae_tpu.cli.generate --ckpt output/cat/run/best \
+        --favae_ckpt expe_7_mu9.pt --clip_ckpt ViT-L-14.pt \
+        --bpe_vocab bpe_simple_vocab_16e6.txt.gz \
+        --prompt "a smiling woman with glasses" --n 4 --out samples.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CAT text-to-image generation")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="favae_tpu CAT checkpoint dir (Orbax)")
+    p.add_argument("--torch_cat_ckpt", type=str, default=None,
+                   help="reference CelebA_CAT.pt (GPT weights)")
+    p.add_argument("--favae_ckpt", type=str, default=None)
+    p.add_argument("--clip_ckpt", type=str, default=None)
+    p.add_argument("--bpe_vocab", type=str, default=None)
+    p.add_argument("--prompt", type=str, action="append", required=True,
+                   help="repeatable; one image set per prompt")
+    p.add_argument("--n", type=int, default=1, help="images per prompt")
+    p.add_argument("--top_k", type=int, default=500)
+    p.add_argument("--top_p", type=float, default=0.95)
+    p.add_argument("--cond_scale", type=float, default=3.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="samples.npz")
+    p.add_argument("--codebook_size", type=int, default=1024)
+    p.add_argument("--embed_dim", type=int, default=256)
+    args = p.parse_args(argv)
+
+    from favae_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
+    from favae_tpu import config as C
+    from favae_tpu.models.clip_text import BPETokenizer
+    from favae_tpu.models.txt_cond import build_cat
+
+    cfg = C.cat_celebahq()
+    if args.codebook_size != 1024:
+        cfg = C.CATConfig(
+            vqgan=cfg.vqgan, clip=cfg.clip,
+            gpt=C.gpt2_medium(vocab_size=args.codebook_size))
+
+    favae_variables = cb_state = clip_params = None
+    if args.favae_ckpt:
+        from favae_tpu.utils.torch_convert import convert_favae
+        params, bs, cb_state = convert_favae(args.favae_ckpt, cfg.vqgan)
+        favae_variables = {"params": params}
+        if bs:
+            favae_variables["batch_stats"] = bs
+    if args.clip_ckpt:
+        from favae_tpu.utils.torch_convert import convert_clip_text
+        clip_params = convert_clip_text(args.clip_ckpt)
+    tokenizer = (BPETokenizer(args.bpe_vocab) if args.bpe_vocab
+                 else BPETokenizer(merges=["s y"]))
+
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(args.seed),
+                                favae_variables=favae_variables,
+                                cb_state=cb_state, clip_params=clip_params,
+                                tokenizer=tokenizer)
+    if args.torch_cat_ckpt:
+        from favae_tpu.utils.torch_convert import convert_cat_gpt
+        gpt_params = convert_cat_gpt(args.torch_cat_ckpt)
+    elif args.ckpt:
+        from favae_tpu.utils.checkpoint import restore_checkpoint
+        from favae_tpu.train.cat_step import (CATTrainState, create_cat_state,
+                                              make_cat_optimizer)
+        import optax
+        tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
+        template = create_cat_state(cat, gpt_params, tx)
+        state, _ = restore_checkpoint(args.ckpt, template)
+        gpt_params = state.gpt_params
+
+    prompts = [pr for pr in args.prompt for _ in range(args.n)]
+    text_ids = cat.tokenize(prompts)
+    imgs, grids = cat.sample_images(
+        gpt_params, text_ids, rng=jax.random.PRNGKey(args.seed + 1),
+        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
+        cond_scale=args.cond_scale)
+    imgs = np.clip(np.asarray(imgs) * 0.5 + 0.5, 0, 1)
+    np.savez(args.out, images=imgs, tokens=np.asarray(grids),
+             prompts=np.asarray(prompts, dtype=object))
+    print(f"wrote {imgs.shape[0]} images -> {args.out}")
+
+    # also dump pngs next to the npz when PIL is available
+    try:
+        from PIL import Image
+        base = os.path.splitext(args.out)[0]
+        for i, im in enumerate(imgs):
+            Image.fromarray((im * 255).astype(np.uint8)).save(f"{base}_{i}.png")
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,7 @@ def build_parser():
     p.add_argument("--num_groups", type=int, default=32)
     p.add_argument("--dsl_init_sigma", type=float, default=3.0)
     p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--debug_nans", action="store_true")
     return p
 
 
@@ -76,6 +77,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from favae_tpu.utils.xla_cache import enable_persistent_cache
     enable_persistent_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     from favae_tpu import config as C
     from favae_tpu.data.pipeline import DataLoader, PklImageDataset, SyntheticDataset
     from favae_tpu.models.clip_text import BPETokenizer

@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", action="store_true",
                    help="train on synthetic data (smoke tests/benchmarks)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the TPU analogue of the "
+                        "reference's torch.autograd.set_detect_anomaly, "
+                        "train_favae.py:30)")
     return p
 
 
@@ -152,6 +156,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from favae_tpu.utils.xla_cache import enable_persistent_cache
     enable_persistent_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     model_cfg, loss_cfg, train_cfg = config_from_args(args)
 
     save_path = os.path.join("output", args.ds)

@@ -25,7 +25,7 @@ from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from favae_tpu.train.favae_state import FavaeTrainState
 from favae_tpu.train.favae_step import make_eval_step, make_train_step
 from favae_tpu.utils.checkpoint import CheckpointManager
-from favae_tpu.utils.logging import MetricWriter, print0
+from favae_tpu.utils.logging import MetricWriter, device_memory_mib, print0
 
 
 class FavaeTrainer:
@@ -102,6 +102,7 @@ class FavaeTrainer:
                            if np.ndim(v) == 0}
                 dt = time.perf_counter() - t_last
                 scalars["imgs_per_sec"] = imgs_since / max(dt, 1e-9)
+                scalars["mem_mib"] = device_memory_mib()
                 t_last = time.perf_counter()
                 imgs_since = 0
                 self._log_sigmas(scalars)

@@ -65,3 +65,13 @@ class MetricWriter:
     def close(self):
         if self._writer is not None:
             self._writer.close()
+
+
+def device_memory_mib() -> float:
+    """Peak device memory in MiB (the reference logs
+    torch.cuda.max_memory_reserved per interval, train_favae.py:122)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("peak_bytes_in_use", 0) / (1 << 20)
+    except Exception:
+        return 0.0

@@ -125,3 +125,67 @@ def test_lpips_converter_shapes():
     a = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
     d = lpips.apply({"params": params}, a, a * 0.5)
     assert d.shape == (1,) and np.isfinite(float(d[0]))
+
+
+@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode", [
+    (dict(use_gauss_resblock=True), "res", "nonpair"),
+])
+def test_train_mode_tap_parity(torch_flags, fcm_kind, dsl_mode):
+    """Blurred DSL feature taps must match the reference in train mode
+    (encoder + decoder non-pairwise blur, reference: models/codec.py:280-314,
+    972-1004). Needs 256px input so the 9-tap blur fits every tap."""
+    import torch
+    from favae_tpu.models.quantizer import CodebookState
+    from favae_tpu.models.vqgan import VQGANFCM
+    from favae_tpu.utils.torch_convert import convert_favae
+
+    sys.path.insert(0, REF)
+    try:
+        from models.vqgan_fcm import VQGANFCM as TorchVQGAN
+        torch.manual_seed(0)
+        tmodel = TorchVQGAN(
+            64, 256, False, ch_mult=(1, 1, 2, 2, 4), attn_resolutions=[16],
+            use_cosine_sim=True, codebook_dim=None, use_l2_quantizer=True,
+            sync_codebook=False, commitment_weight=1.0, kernel_size=9,
+            dsl_init_sigma=3.0, device="cpu", num_groups=32,
+            inference=False, **torch_flags).eval()
+    finally:
+        sys.path.remove(REF)
+
+    cfg = _jax_cfg(fcm_kind, dsl_mode)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats, cb = convert_favae(sd, cfg)
+    cb = CodebookState(embed=jnp.asarray(cb.embed),
+                       cluster_size=jnp.asarray(cb.cluster_size),
+                       embed_avg=jnp.asarray(cb.embed_avg))
+
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        # model.eval() but inference=False: blurs active, no dropout, no EMA
+        z_t, enc_feats_t = tmodel.encoder(xt, inference=False)
+        z_q_t, _, _ = tmodel.quantizer(z_t)
+        _, dec_feats_t = tmodel.decoder(z_q_t, inference=False)
+
+    model = VQGANFCM(cfg, gaussian_kernel=9, dsl_init_sigma=3.0)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    # train=True activates tap blurring; dropout rate is 0 in this config
+    z_q, _, _, enc_feats, _ = model.apply(
+        variables, jnp.asarray(x), cb, train=True, inference=False,
+        rngs={"dropout": jax.random.PRNGKey(0)}, method=VQGANFCM.encode)
+    _, dec_feats, _ = model.apply(
+        variables, z_q, train=True, inference=False,
+        rngs={"dropout": jax.random.PRNGKey(0)}, method=VQGANFCM.decode)
+
+    assert len(enc_feats) == len(enc_feats_t) == 4
+    for i, (ours, ref) in enumerate(zip(enc_feats, enc_feats_t)):
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        err = np.max(np.abs(np.asarray(ours) - ref))
+        assert err < 5e-3, f"enc tap {i}: {err}"
+    for i, (ours, ref) in enumerate(zip(dec_feats, dec_feats_t)):
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        err = np.max(np.abs(np.asarray(ours) - ref))
+        assert err < 5e-3, f"dec tap {i}: {err}"
