@@ -151,9 +151,13 @@ def _nearest_codes(flatten: jax.Array, embed: jax.Array, use_cosine: bool,
     if temperature == 0.0 and _use_pallas_lookup(n, k):
         from favae_tpu.ops.vq_pallas import (vq_nearest_cosine,
                                              vq_nearest_euclidean)
+        # argmax indices carry no gradient; stop_gradient keeps autodiff from
+        # trying to build a JVP through the pallas_call
+        f = jax.lax.stop_gradient(flatten)
+        e = jax.lax.stop_gradient(embed)
         if use_cosine:
-            return vq_nearest_cosine(flatten, embed)
-        return vq_nearest_euclidean(flatten, embed)
+            return vq_nearest_cosine(f, e)
+        return vq_nearest_euclidean(f, e)
     if use_cosine:
         dist = flatten @ embed.T  # both l2-normalized by caller
     else:

@@ -387,3 +387,63 @@ def jax_tree_stack(trees):
     """Stack a list of identical pytrees along a new leading axis."""
     import jax
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pytorch-fid pt_inception-2015-12-05 checkpoint)
+# ---------------------------------------------------------------------------
+
+def convert_inception(path_or_sd) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """pytorch-fid InceptionV3 state_dict -> (params, batch_stats) for
+    favae_tpu.models.inception.InceptionV3FID (reference architecture:
+    losses/inception.py:94-230). The fc layer is dropped (pool3 features)."""
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def convbn(torch_prefix, tree_path):
+        node_p = params
+        node_s = stats
+        for k in tree_path[:-1]:
+            node_p = node_p.setdefault(k, {})
+            node_s = node_s.setdefault(k, {})
+        leaf = tree_path[-1]
+        node_p[leaf] = {
+            "conv": {"kernel": sd[torch_prefix + ".conv.weight"]
+                     .transpose(2, 3, 1, 0)},
+            "bn": {"scale": sd[torch_prefix + ".bn.weight"],
+                   "bias": sd[torch_prefix + ".bn.bias"]},
+        }
+        node_s[leaf] = {"bn": {"mean": sd[torch_prefix + ".bn.running_mean"],
+                               "var": sd[torch_prefix + ".bn.running_var"]}}
+
+    for stem in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"):
+        convbn(stem, (stem,))
+
+    a_branches = ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                  "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool")
+    for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        for br in a_branches:
+            convbn(f"{blk}.{br}", (blk, br))
+    for br in ("branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+               "branch3x3dbl_3"):
+        convbn(f"Mixed_6a.{br}", ("Mixed_6a", br))
+    c_branches = ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                  "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                  "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool")
+    for blk in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        for br in c_branches:
+            convbn(f"{blk}.{br}", (blk, br))
+    for br in ("branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+               "branch7x7x3_3", "branch7x7x3_4"):
+        convbn(f"Mixed_7a.{br}", ("Mixed_7a", br))
+    e_branches = ("branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                  "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                  "branch3x3dbl_3b", "branch_pool")
+    for blk in ("Mixed_7b", "Mixed_7c"):
+        for br in e_branches:
+            convbn(f"{blk}.{br}", (blk, br))
+
+    return _to_f32(params), _to_f32(stats)
