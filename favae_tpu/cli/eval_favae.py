@@ -111,7 +111,9 @@ def main(argv=None):
         lpips_params = convert_lpips(args.lpips_ckpt)
 
     @jax.jit
-    def recon_fn(x):
+    def recon_fn(variables, cb_state, x):
+        # params threaded as args: baked-in constants overwhelm the remote
+        # compile service
         z_q, _, indices, _, _ = model.apply(
             variables, x, cb_state, train=False, inference=True,
             method=VQGANFCM.encode)
@@ -120,6 +122,11 @@ def main(argv=None):
         out = {"x_recon": x_recon, "indices": indices,
                "psnr": psnr(x, x_recon),
                "l1": jnp.mean(jnp.abs(x - x_recon), axis=(1, 2, 3))}
+        return out, x_recon
+
+    @jax.jit
+    def aux_fn(inception_vars, lpips_params, x, x_recon):
+        out = {}
         if inception is not None:
             out["feat_real"] = inception.apply(inception_vars, x)
             out["feat_fake"] = inception.apply(inception_vars, x_recon)
@@ -139,7 +146,10 @@ def main(argv=None):
     used = np.zeros(model_cfg.quantizer.codebook_size, bool)
     seen = 0
     for x in loader:
-        out = recon_fn(jnp.asarray(x))
+        xj = jnp.asarray(x)
+        out, x_recon = recon_fn(variables, cb_state, xj)
+        if inception is not None or lpips is not None:
+            out = {**out, **aux_fn(inception_vars, lpips_params, xj, x_recon)}
         psnrs.append(np.asarray(out["psnr"]))
         l1s.append(np.asarray(out["l1"]))
         if "lpips" in out:

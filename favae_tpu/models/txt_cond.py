@@ -34,21 +34,31 @@ class CATModel:
     tokenizer: Optional[BPETokenizer] = None
 
     # ------------------------------------------------------------------
-    def encode_to_z(self, x):
+    # NOTE: frozen params default to the attributes for host-side use, but
+    # jitted steps MUST pass them explicitly (frozen=...) — arrays closed over
+    # a jit become graph constants, and a 400MB constant payload overwhelms
+    # the remote compile service.
+    def frozen_params(self):
+        return dict(favae_variables=self.favae_variables,
+                    cb_state=self.cb_state, clip_params=self.clip_params)
+
+    def encode_to_z(self, x, favae_variables=None, cb_state=None):
         """Frozen FA-VAE encode -> token ids (B, L)
         (reference: txt_cond_transformer.py:134-139)."""
+        fv = self.favae_variables if favae_variables is None else favae_variables
+        cb = self.cb_state if cb_state is None else cb_state
         _, _, indices, _, _ = self.favae.apply(
-            self.favae_variables, x, self.cb_state, train=False,
-            inference=True, method=VQGANFCM.encode)
+            fv, x, cb, train=False, inference=True, method=VQGANFCM.encode)
         b = indices.shape[0]
         return indices.reshape(b, -1)
 
-    def encode_text_ids(self, text_ids):
+    def encode_text_ids(self, text_ids, clip_params=None):
         """CLIP text ids -> (token embeds (B,77,D), mask (B,77))
         (reference: txt_cond_transformer.py:142-150: mask = ids > 0,
         embeddings cast to float32; optional L2 normalization per
         utils.py:29-37 CLIPWrapper)."""
-        embeds, pooled = self.clip.apply({"params": self.clip_params}, text_ids)
+        cp = self.clip_params if clip_params is None else clip_params
+        embeds, pooled = self.clip.apply({"params": cp}, text_ids)
         embeds = embeds.astype(jnp.float32)
         if self.cfg.normalize_clip:
             embeds = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
@@ -68,12 +78,16 @@ class CATModel:
             method=VQGANFCM.decode_code)
 
     # ------------------------------------------------------------------
-    def gpt_loss(self, gpt_params, x, text_ids, *, rng, train: bool = True):
+    def gpt_loss(self, gpt_params, x, text_ids, *, rng, train: bool = True,
+                 frozen=None):
         """Teacher-forced CE loss (reference: txt_cond_transformer.py:112-125):
         input = z[:, :L-1] (start token prepended inside GPT), CE over all L
         positions against the full z sequence."""
-        z = self.encode_to_z(x)
-        embeds, mask = self.encode_text_ids(text_ids)
+        frozen = frozen or {}
+        z = self.encode_to_z(x, frozen.get("favae_variables"),
+                             frozen.get("cb_state"))
+        embeds, mask = self.encode_text_ids(text_ids,
+                                            frozen.get("clip_params"))
         inp = z[:, :-1]
         logits = self.gpt.apply(
             {"params": gpt_params}, inp, embeds, mask,
