@@ -257,12 +257,17 @@ class CATBlock(nn.Module):
         return carry, self.cross_attn.project_kv(context)
 
 
-def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None):
+def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None,
+                 remat: bool = False):
     common = dict(variable_axes={"params": 0},
                   split_rngs={"params": True, "dropout": True},
                   length=cfg.n_layer)
+    # remat on the training path: scan-over-remat recomputes block activations
+    # in the backward pass instead of stashing all n_layer of them (a 24x1536
+    # stack at batch 4 alone is ~600MB per saved tensor -> HBM OOM without it)
+    target = nn.remat(CATBlock, prevent_cse=False) if remat else CATBlock
     Scanned = nn.scan(
-        CATBlock,
+        target,
         methods={
             "__call__": dict(in_axes=(nn.broadcast, nn.broadcast), **common),
             "decode": dict(in_axes=(0, 0, nn.broadcast, nn.broadcast),
@@ -295,7 +300,7 @@ class GPT(nn.Module):
 
         # one block, scanned; train/eval/decode variants share the scope
         self.blocks = _scan_blocks(c, deterministic=False, dtype=self.dtype,
-                                   name="blocks")
+                                   name="blocks", remat=True)
         self.blocks_eval = _scan_blocks(c, deterministic=True, dtype=self.dtype)
         self.blocks_decode = _scan_blocks(c, deterministic=True,
                                           dtype=self.dtype)
@@ -434,6 +439,7 @@ def top_k_top_p_filter(logits, top_k: Optional[int] = None,
                        top_p: float = 1.0):
     """reference: gpt_ca.py:370-393. logits (..., vocab)."""
     if top_k is not None:
+        top_k = min(top_k, logits.shape[-1])
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
     if top_p < 1.0:

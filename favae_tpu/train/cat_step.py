@@ -50,31 +50,29 @@ def make_cat_optimizer(cfg: CATConfig, lr_schedule) -> optax.GradientTransformat
 
 
 class CATTrainState(struct.PyTreeNode):
-    """Trainable GPT state plus the frozen first-stage/conditioning params.
-
-    The frozen tree rides in the state so jitted steps receive it as an
-    ARGUMENT — closing over it would bake ~400MB of constants into the graph
-    and overwhelm the remote compile service."""
-
     gpt_params: Any
     opt_state: optax.OptState
     step: jax.Array
-    frozen: Any = None  # {favae_variables, cb_state, clip_params}
 
 
 def create_cat_state(cat: CATModel, gpt_params, tx) -> CATTrainState:
     return CATTrainState(gpt_params=gpt_params, opt_state=tx.init(gpt_params),
-                         step=jnp.int32(0), frozen=cat.frozen_params())
+                         step=jnp.int32(0))
 
 
 def make_cat_train_step(cat: CATModel, tx) -> Callable:
-    def train_step(state: CATTrainState, x, text_ids, rng
+    """The jitted step takes the frozen first-stage/conditioning params as a
+    SEPARATE, non-donated argument: closing over them would bake ~400MB of
+    constants into the graph (overwhelming the remote compile service), and
+    carrying them inside the donated state would delete the host copies."""
+
+    def train_step(state: CATTrainState, frozen, x, text_ids, rng
                    ) -> Tuple[CATTrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(gpt_params):
             return cat.gpt_loss(gpt_params, x, text_ids, rng=rng, train=True,
-                                frozen=state.frozen)
+                                frozen=frozen)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.gpt_params)
         updates, opt_state = tx.update(grads, state.opt_state, state.gpt_params)
@@ -87,10 +85,10 @@ def make_cat_train_step(cat: CATModel, tx) -> Callable:
 
 
 def make_cat_eval_step(cat: CATModel) -> Callable:
-    def eval_step(state: CATTrainState, x, text_ids):
+    def eval_step(state: CATTrainState, frozen, x, text_ids):
         loss = cat.gpt_loss(state.gpt_params, x, text_ids,
                             rng=jax.random.PRNGKey(0), train=False,
-                            frozen=state.frozen)
+                            frozen=frozen)
         return {"loss_gpt": loss}
 
     return eval_step

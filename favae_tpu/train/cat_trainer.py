@@ -42,6 +42,7 @@ class CATTrainer:
             cb_state=cb_state, clip_params=clip_params, tokenizer=tokenizer)
         self.tx = make_cat_optimizer(cfg, self.lr_schedule)
         self.state = create_cat_state(self.cat, gpt_params, self.tx)
+        self.frozen = self.cat.frozen_params()
 
         self.train_step = jax.jit(make_cat_train_step(self.cat, self.tx),
                                   donate_argnums=0)
@@ -74,7 +75,7 @@ class CATTrainer:
         last_loss = float("inf")
         for step, batch in enumerate(loader):
             x, text_ids = self._prep_batch(batch)
-            self.state, m = self.train_step(self.state, x, text_ids, self.rng)
+            self.state, m = self.train_step(self.state, self.frozen, x, text_ids, self.rng)
             gstep = epoch * steps_per_epoch + step
             if step % print_steps == 0:
                 loss = float(m["loss_gpt"])
@@ -100,7 +101,7 @@ class CATTrainer:
         last = None
         for batch in loader:
             x, text_ids = self._prep_batch(batch)
-            m = self.eval_step(self.state, x, text_ids)
+            m = self.eval_step(self.state, self.frozen, x, text_ids)
             total += float(m["loss_gpt"]) * x.shape[0]
             n += x.shape[0]
             last = (x, text_ids)

@@ -95,7 +95,7 @@ def tiny_cat_cfg():
     gpt = GPTConfig(vocab_size=32, n_layer=2, n_embed=64, n_head=4,
                     dim_head=16, image_encoded_dim=8, n_cond_embed=24,
                     dropout=0.1, max_text_len=8)
-    clip = CLIPTextConfig(vocab_size=50, context_length=8, width=24, heads=4,
+    clip = CLIPTextConfig(vocab_size=600, context_length=8, width=24, heads=4,
                           layers=2, embed_dim=24)
     return CATConfig(vqgan=vq, gpt=gpt, clip=clip)
 
@@ -113,19 +113,20 @@ def test_cat_train_step_and_sampling():
     state = create_cat_state(cat, gpt_params, tx)
 
     step = jax.jit(make_cat_train_step(cat, tx))
+    frozen = cat.frozen_params()
     x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3)
                     .astype(np.float32) * 2 - 1)
     ids = jnp.asarray(np.random.RandomState(1).randint(1, 50, (2, 8))
                       .astype(np.int32))
     losses = []
     for i in range(3):
-        state, m = step(state, x, ids, jax.random.PRNGKey(2))
+        state, m = step(state, frozen, x, ids, jax.random.PRNGKey(2))
         losses.append(float(m["loss_gpt"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # memorizing a fixed tiny batch
 
     ev = jax.jit(make_cat_eval_step(cat))
-    m = ev(state, x, ids)
+    m = ev(state, frozen, x, ids)
     assert np.isfinite(float(m["loss_gpt"]))
 
     imgs, grid = cat.sample_images(state.gpt_params, ids,
@@ -157,3 +158,31 @@ def test_decay_mask_rules():
     assert mask["axial_height_pos"] is True
     assert mask["start_token"] is True
     assert blocks["self_attn"]["null_kv"] is True
+
+
+def test_cat_trainer_fit_and_resume(tmp_path):
+    from favae_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from favae_tpu.models.clip_text import BPETokenizer
+    from favae_tpu.train.cat_trainer import CATTrainer
+
+    cfg = tiny_cat_cfg()
+    ds = SyntheticDataset(resolution=16, size=8, with_captions=True)
+    dl = DataLoader(ds, batch_size=4, num_workers=1)
+    vdl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    tok = BPETokenizer(merges=["s y", "sy n"])
+
+    def build():
+        return CATTrainer(cfg, str(tmp_path / "ckpt"), steps_per_epoch=len(dl),
+                          batch_size=4, tokenizer=tok, seed=0)
+
+    tr = build()
+    tr.fit(dl, vdl, epochs=2, print_steps=1, img_steps=0)
+    assert tr.ckpt.best_score < float("inf")
+
+    tr2 = build()
+    tr2.resume()
+    assert tr2.start_epoch == 2
+    import jax
+    a = jax.tree_util.tree_leaves(tr.state.gpt_params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.gpt_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
