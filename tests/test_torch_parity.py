@@ -189,3 +189,48 @@ def test_train_mode_tap_parity(torch_flags, fcm_kind, dsl_mode):
         ref = ref.numpy().transpose(0, 2, 3, 1)
         err = np.max(np.abs(np.asarray(ours) - ref))
         assert err < 5e-3, f"dec tap {i}: {err}"
+
+
+@pytest.mark.parametrize("kind,n_layers", [("conv", 3), ("patch", 2), ("patch", 3)])
+def test_discriminator_parity(kind, n_layers):
+    """Converted discriminator weights must reproduce the reference logits
+    (eval mode, running BN stats)."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from models.discriminator import Discriminator as TD
+        from models.discriminator import PatchDiscriminator as TPD
+    finally:
+        sys.path.remove(REF)
+    from favae_tpu.config import DiscriminatorConfig
+    from favae_tpu.models.discriminator import build_discriminator
+
+    torch.manual_seed(0)
+    if kind == "conv":
+        tm = TD(num_layer=n_layers).eval()
+    else:
+        tm = TPD(num_layers=n_layers).eval()
+    # make BN running stats non-trivial
+    with torch.no_grad():
+        for _ in range(3):
+            tm.train()
+            tm(torch.randn(4, 3, 64, 64))
+            tm.eval()
+
+    sd = {f"discriminator.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    cfg_d = DiscriminatorConfig(kind=kind, num_layers=n_layers)
+
+    from favae_tpu.utils.torch_convert import _discriminator
+    from favae_tpu.config import VQGANConfig
+    params, stats = _discriminator(sd, VQGANConfig(discriminator=cfg_d))
+
+    model = build_discriminator(cfg_d, dtype=jnp.float32)
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=2e-4)
