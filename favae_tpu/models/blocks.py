@@ -19,9 +19,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def group_norm(num_groups: int = 32, name: Optional[str] = None) -> nn.GroupNorm:
-    # torch GroupNorm default eps=1e-5 (reference: models/codec.py:39 et al.)
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)
+def group_norm(num_groups: int = 32, name: Optional[str] = None,
+               dtype=jnp.float32) -> nn.GroupNorm:
+    # torch GroupNorm default eps=1e-5 (reference: models/codec.py:39 et al.).
+    # flax computes the statistics in float32 regardless of `dtype`; returning
+    # the compute dtype (bf16 in production) halves activation HBM traffic —
+    # the step is bandwidth-bound (~65% of HBM BW vs ~24% of peak FLOPs).
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype,
+                        name=name)
 
 
 def conv3x3(features: int, dtype, name: Optional[str] = None) -> nn.Conv:
@@ -70,10 +75,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         in_c = x.shape[-1]
-        h = group_norm(self.num_groups, name="norm1")(x)
+        h = group_norm(self.num_groups, name="norm1", dtype=self.dtype)(x)
         h = nn.silu(h)
         h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(self.num_groups, name="norm2")(h)
+        h = group_norm(self.num_groups, name="norm2", dtype=self.dtype)(h)
         h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -96,10 +101,10 @@ class NonResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = group_norm(self.num_groups, name="norm1")(x)
+        h = group_norm(self.num_groups, name="norm1", dtype=self.dtype)(x)
         h = nn.silu(h)
         h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(self.num_groups, name="norm2")(h)
+        h = group_norm(self.num_groups, name="norm2", dtype=self.dtype)(h)
         h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -119,7 +124,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        y = group_norm(self.num_groups, name="norm")(x).reshape(n, h * w, c)
+        y = group_norm(self.num_groups, name="norm", dtype=self.dtype)(x).reshape(n, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="v")(y)
@@ -146,7 +151,7 @@ class TransEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         n, h, w, c = x.shape
-        y = group_norm(32, name="norm")(x).reshape(n, h * w, c)
+        y = group_norm(32, name="norm", dtype=self.dtype)(x).reshape(n, h * w, c)
 
         # --- self-attention sublayer (post-norm) ---
         d_head = c // self.num_heads

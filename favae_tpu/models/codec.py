@@ -67,11 +67,14 @@ class Encoder(nn.Module):
                 lambda _k: jnp.full((4,), self.dsl_init_sigma, jnp.float32))
 
         def tap(h, i):
+            # taps stay in compute dtype: the blur accumulates in f32
+            # internally and the FFL upcasts at the loss — storing f32 copies
+            # of the 256^2 taps only burns HBM bandwidth
             if blur_on:
-                taps.append(gaussian_blur_nhwc(
-                    h.astype(jnp.float32), self.gaussian_kernel, sigmas[i]))
+                taps.append(gaussian_blur_nhwc(h, self.gaussian_kernel,
+                                               sigmas[i]))
             else:
-                taps.append(h.astype(jnp.float32))
+                taps.append(h)
 
         x = x.astype(self.dtype)
         h = conv3x3(cfg.base_channels, self.dtype, name="conv_in")(x)
@@ -107,7 +110,7 @@ class Encoder(nn.Module):
         # final: GN -> SiLU -> 3x3 conv to z -> extra 1x1 conv
         # (reference: models/codec.py:170-175)
         zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        h = group_norm(32, name="final_norm")(h)
+        h = group_norm(32, name="final_norm", dtype=self.dtype)(h)
         h = nn.silu(h)
         h = conv3x3(zc, self.dtype, name="final_conv")(h)
         h = conv1x1(cfg.z_channels, self.dtype, name="final_proj")(h)
@@ -152,10 +155,10 @@ class Decoder(nn.Module):
 
         def tap(h, i):
             if blur_on:
-                taps.append(gaussian_blur_nhwc(
-                    h.astype(jnp.float32), self.gaussian_kernel, sigmas[i]))
+                taps.append(gaussian_blur_nhwc(h, self.gaussian_kernel,
+                                               sigmas[i]))
             else:
-                taps.append(h.astype(jnp.float32))
+                taps.append(h)
 
         def fcm(h, i):
             """Apply FCM branch i (1-based) and record its tap. Returns the
@@ -237,7 +240,7 @@ class Decoder(nn.Module):
             h = fcm(h, 4)
 
         # final: GN -> SiLU -> 3x3 conv to RGB
-        h = group_norm(32, name="final_norm")(h)
+        h = group_norm(32, name="final_norm", dtype=self.dtype)(h)
         h = nn.silu(h)
         h_pre = h
         x = conv3x3(cfg.out_channels, self.dtype, name="final_conv")(h_pre)
