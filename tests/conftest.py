@@ -20,5 +20,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent executable cache: the suite compiles dozens of small train-step
+# graphs; cached runs cut minutes on this single-core box
+from favae_tpu.utils.xla_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.expanduser("~/.cache/favae_tpu_xla_cpu"))
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()

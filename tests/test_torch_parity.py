@@ -24,30 +24,33 @@ pytestmark = pytest.mark.skipif(
     reason="reference repo not mounted")
 
 
-def _build_reference(fcm_flags, codebook_size=64, embed_dim=256, res=64):
+def _build_reference(fcm_flags, codebook_size=64, embed_dim=256,
+                     ch_mult=(1, 1, 2, 2, 4), attn_resolutions=(16,)):
     sys.path.insert(0, REF)
     try:
         import torch
         from models.vqgan_fcm import VQGANFCM as TorchVQGAN
         torch.manual_seed(0)
         model = TorchVQGAN(
-            codebook_size, embed_dim, False, ch_mult=(1, 1, 2, 2, 4),
-            attn_resolutions=[16], use_cosine_sim=True, codebook_dim=None,
-            use_l2_quantizer=True, sync_codebook=False, commitment_weight=1.0,
-            kernel_size=9, dsl_init_sigma=3.0, device="cpu",
-            num_groups=32, inference=True, **fcm_flags)
+            codebook_size, embed_dim, False, ch_mult=tuple(ch_mult),
+            attn_resolutions=list(attn_resolutions), use_cosine_sim=True,
+            codebook_dim=None, use_l2_quantizer=True, sync_codebook=False,
+            commitment_weight=1.0, kernel_size=9, dsl_init_sigma=3.0,
+            device="cpu", num_groups=32, inference=True, **fcm_flags)
         return model.eval()
     finally:
         sys.path.remove(REF)
 
 
-def _jax_cfg(fcm_kind, dsl_mode, codebook_size=64, embed_dim=256, res=64):
+def _jax_cfg(fcm_kind, dsl_mode, codebook_size=64, embed_dim=256,
+             ch_mult=(1, 1, 2, 2, 4), attn_resolutions=(16,)):
     from favae_tpu.config import (CodecConfig, DiscriminatorConfig,
                                   QuantizerConfig, VQGANConfig)
     # resolution stays 256: it only determines attn-block placement, and the
     # reference encoder hard-codes 256 regardless of actual input size
     return VQGANConfig(
-        codec=CodecConfig(ch_mult=(1, 1, 2, 2, 4), attn_resolutions=(16,),
+        codec=CodecConfig(ch_mult=tuple(ch_mult),
+                          attn_resolutions=tuple(attn_resolutions),
                           resolution=256, z_channels=embed_dim),
         quantizer=QuantizerConfig(codebook_size=codebook_size, dim=embed_dim,
                                   use_cosine_sim=True),
@@ -55,18 +58,29 @@ def _jax_cfg(fcm_kind, dsl_mode, codebook_size=64, embed_dim=256, res=64):
         fcm_kind=fcm_kind, dsl_mode=dsl_mode, compute_dtype="float32")
 
 
-@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode", [
-    (dict(use_gauss_resblock=True), "res", "nonpair"),      # expe_5
-    (dict(use_same_conv_gauss=True), "conv", "pair"),       # FFHQ/ImageNet
+@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode,ch_mult,attn_res", [
+    (dict(use_gauss_resblock=True), "res", "nonpair",
+     (1, 1, 2, 2, 4), (16,)),                               # expe_5
+    (dict(use_same_conv_gauss=True), "conv", "pair",
+     (1, 1, 2, 2, 4), (16,)),                               # FFHQ/ImageNet f16
+    (dict(use_gauss_attn=True), "attn", "nonpair",
+     (1, 1, 2, 2, 4), (16,)),                               # Table 2 row 9
+    (dict(use_ffl_with_fcm=True), "conv", "none",
+     (1, 1, 2, 2, 4), (16,)),                               # FCM + FFL only
+    (dict(use_same_conv_gauss=True), "conv", "pair",
+     (1, 2, 4), ()),                                        # ImageNet f=4 trunk
 ])
-def test_reconstruction_parity(torch_flags, fcm_kind, dsl_mode):
+def test_reconstruction_parity(torch_flags, fcm_kind, dsl_mode, ch_mult,
+                               attn_res):
     import torch
     from favae_tpu.models.quantizer import CodebookState
     from favae_tpu.models.vqgan import VQGANFCM
     from favae_tpu.utils.torch_convert import convert_favae
 
-    tmodel = _build_reference(torch_flags)
-    cfg = _jax_cfg(fcm_kind, dsl_mode)
+    tmodel = _build_reference(torch_flags, ch_mult=ch_mult,
+                              attn_resolutions=attn_res)
+    cfg = _jax_cfg(fcm_kind, dsl_mode, ch_mult=ch_mult,
+                   attn_resolutions=attn_res)
 
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     params, batch_stats, cb = convert_favae(sd, cfg)
