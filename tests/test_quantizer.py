@@ -175,3 +175,20 @@ def test_kmeans_converges_on_separated_clusters():
 def test_orthogonal_loss_identity_codebook():
     eye = jnp.eye(8, dtype=jnp.float32)
     assert abs(float(orthogonal_loss_fn(eye))) < 1e-6
+
+
+def test_gumbel_sampling_temperature():
+    """sample_codebook_temp > 0 draws stochastic codes (reference:
+    models/l2_quantize.py:39-43) and still returns valid indices."""
+    import jax
+    cfg = QuantizerConfig(codebook_size=16, dim=8, use_cosine_sim=True,
+                          sample_codebook_temp=2.0)
+    state, _ = make_state()
+    x = jnp.asarray(np.random.RandomState(9).randn(64, 8).astype(np.float32))
+    _, idx_a, _ = codebook_lookup(cfg, state, x, train=False,
+                                  rng=jax.random.PRNGKey(0))
+    _, idx_b, _ = codebook_lookup(cfg, state, x, train=False,
+                                  rng=jax.random.PRNGKey(1))
+    a, b = np.asarray(idx_a), np.asarray(idx_b)
+    assert a.min() >= 0 and a.max() < 16
+    assert (a != b).any()  # different keys -> different draws

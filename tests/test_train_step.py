@@ -131,3 +131,21 @@ def test_eval_step():
     assert np.isfinite(float(out["loss_recon"]))
     # ch_mult=(1,2) -> downsample factor 2 -> 16x16 token grid at 32px
     assert out["indices"].shape == (4, 16, 16)
+
+
+def test_train_step_patch_discriminator():
+    """ImageNet-f16-style PatchGAN discriminator through both GAN stages."""
+    model_cfg = tiny_cfg(FCM_CONV, DSL_PAIR, disc_kind="patch")
+    loss_cfg = tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=True, ffl_on=True)
+    x = jnp.asarray(np.random.RandomState(9).rand(8, 32, 32, 3)
+                    .astype(np.float32) * 2 - 1)
+    new_state, metrics = jax.jit(step)(state, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_d"]))
+    assert np.isfinite(float(metrics["loss_g"]))
+    # BN running stats in the patch D must have moved
+    bs0 = jax.tree_util.tree_leaves(state.batch_stats)
+    bs1 = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(bs0, bs1))
