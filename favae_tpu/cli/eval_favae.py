@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 import jax
@@ -36,6 +37,8 @@ def build_parser():
                    help="pytorch-fid inception weights for rFID")
     p.add_argument("--lpips_ckpt", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--save_recons", type=str, default=None,
+                   help="directory for side-by-side [input | recon] PNGs")
     return p
 
 
@@ -141,6 +144,10 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
                         num_workers=args.num_workers)
 
+    if args.save_recons:
+        os.makedirs(args.save_recons, exist_ok=True)
+    saved = 0
+
     psnrs, l1s, lpipss = [], [], []
     feats_r, feats_f = [], []
     used = np.zeros(model_cfg.quantizer.codebook_size, bool)
@@ -158,6 +165,18 @@ def main(argv=None):
             feats_r.append(np.asarray(out["feat_real"]))
             feats_f.append(np.asarray(out["feat_fake"]))
         used[np.unique(np.asarray(out["indices"]))] = True
+        if args.save_recons and saved < 64:
+            try:
+                from PIL import Image
+                xr = np.asarray(out["x_recon"])
+                for i in range(x.shape[0]):
+                    pair = np.concatenate([np.asarray(x)[i], xr[i]], axis=1)
+                    pair = np.clip(pair * 0.5 + 0.5, 0, 1)
+                    Image.fromarray((pair * 255).astype(np.uint8)).save(
+                        f"{args.save_recons}/recon_{saved:04d}.png")
+                    saved += 1
+            except ImportError:
+                pass
         seen += x.shape[0]
         if args.max_images and seen >= args.max_images:
             break

@@ -76,7 +76,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from favae_tpu.utils.xla_cache import enable_persistent_cache
+    from favae_tpu.parallel.mesh import maybe_initialize_distributed
     enable_persistent_cache()
+    maybe_initialize_distributed()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     from favae_tpu import config as C

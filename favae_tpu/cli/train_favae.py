@@ -155,7 +155,9 @@ def config_from_args(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from favae_tpu.utils.xla_cache import enable_persistent_cache
+    from favae_tpu.parallel.mesh import maybe_initialize_distributed
     enable_persistent_cache()
+    maybe_initialize_distributed()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     model_cfg, loss_cfg, train_cfg = config_from_args(args)

@@ -49,3 +49,16 @@ def shard_batch(batch, mesh: Mesh):
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed when running under a multi-host launcher
+    (JAX_COORDINATOR_ADDRESS / megascale env present). Safe no-op otherwise —
+    single-host SPMD needs nothing."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized or misconfigured; single-host fallback
