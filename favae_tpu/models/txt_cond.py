@@ -32,6 +32,7 @@ class CATModel:
     clip_params: Any
     gpt: GPT
     tokenizer: Optional[BPETokenizer] = None
+    _sample_cache: dict = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
     # NOTE: frozen params default to the attributes for host-side use, but
@@ -102,14 +103,30 @@ class CATModel:
                       top_k: Optional[int] = None, top_p: float = 1.0,
                       temperature: float = 1.0,
                       cond_scale: Optional[float] = None):
-        """Text -> image (reference: txt_cond_transformer.py:171-185)."""
-        embeds, mask = self.encode_text_ids(text_ids)
-        grid = self.gpt.apply(
-            {"params": gpt_params}, embeds, mask, rng=rng,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            cond_scale=self.cfg.cond_scale if cond_scale is None else cond_scale,
-            method=GPT.sample)
-        return self.decode_to_img(grid), grid
+        """Text -> image (reference: txt_cond_transformer.py:171-185).
+
+        The whole pipeline (CLIP encode -> CFG KV-cache sampling -> FA-VAE
+        decode) runs as ONE jitted function with every parameter tree passed
+        as an argument (eager dispatch through the compile relay is orders of
+        magnitude slower, and closed-over params overwhelm it)."""
+        cs = self.cfg.cond_scale if cond_scale is None else cond_scale
+        key = (top_k, top_p, temperature, cs)
+        if key not in self._sample_cache:
+            def fn(gpt_params, frozen, text_ids, rng):
+                embeds, mask = self.encode_text_ids(
+                    text_ids, frozen.get("clip_params"))
+                grid = self.gpt.apply(
+                    {"params": gpt_params}, embeds, mask, rng=rng,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    cond_scale=cs, method=GPT.sample)
+                z = self.favae.apply(
+                    frozen["favae_variables"], grid, frozen["cb_state"],
+                    method=VQGANFCM.decode_code)
+                return z, grid
+
+            self._sample_cache[key] = jax.jit(fn)
+        return self._sample_cache[key](gpt_params, self.frozen_params(),
+                                       text_ids, rng)
 
 
 def build_cat(cfg: CATConfig, rng: jax.Array,

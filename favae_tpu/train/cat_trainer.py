@@ -70,21 +70,29 @@ class CATTrainer:
         return jnp.asarray(x), text_ids
 
     def train_epoch(self, loader, epoch: int, print_steps=10, img_steps=1000):
+        import time
         loader.set_epoch(epoch)
         steps_per_epoch = len(loader)
         last_loss = float("inf")
+        t_last = time.perf_counter()
+        seen = 0
         for step, batch in enumerate(loader):
             x, text_ids = self._prep_batch(batch)
             self.state, m = self.train_step(self.state, self.frozen, x, text_ids, self.rng)
+            seen += x.shape[0]
             gstep = epoch * steps_per_epoch + step
             if step % print_steps == 0:
                 loss = float(m["loss_gpt"])
                 last_loss = loss
                 lr_now = float(self.lr_schedule(gstep))
-                self.writer.scalars("train", {"loss_gpt": loss, "lr": lr_now},
-                                    gstep)
+                dt = time.perf_counter() - t_last
+                sps = seen / max(dt, 1e-9)
+                t_last = time.perf_counter()
+                seen = 0
+                self.writer.scalars("train", {"loss_gpt": loss, "lr": lr_now,
+                                              "samples_per_sec": sps}, gstep)
                 print0(f"epoch {epoch} step {step} loss_gpt={loss:.4f} "
-                       f"lr={lr_now:.3e}")
+                       f"lr={lr_now:.3e} samples/s={sps:.2f}")
             if img_steps and gstep % img_steps == 0:
                 self._log_samples("train/from-cond", x, text_ids, gstep)
         return last_loss
