@@ -10,6 +10,28 @@ from __future__ import annotations
 import os
 
 
+def cpu_cache_dir() -> str:
+    """Per-machine CPU cache dir.
+
+    XLA:CPU caches AOT-compiled executables keyed only by the HLO, so a cache
+    shared across machines can serve code compiled for a different CPU's
+    feature set (SIGILL risk). Tag the dir with a hash of the host's cpuinfo
+    flags so each machine gets its own artifacts.
+    """
+    import hashlib
+
+    tag = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return os.path.expanduser(f"~/.cache/favae_tpu_xla_cpu_{tag}")
+
+
 def enable_persistent_cache(path: str = None) -> None:
     import jax
 

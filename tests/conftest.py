@@ -22,9 +22,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent executable cache: the suite compiles dozens of small train-step
 # graphs; cached runs cut minutes on this single-core box
-from favae_tpu.utils.xla_cache import enable_persistent_cache  # noqa: E402
+from favae_tpu.utils.xla_cache import cpu_cache_dir, enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache(os.path.expanduser("~/.cache/favae_tpu_xla_cpu"))
+enable_persistent_cache(cpu_cache_dir())
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
