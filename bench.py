@@ -34,6 +34,59 @@ A100_BASELINE_IMGS_PER_SEC = 25.0
 BATCH_PER_CHIP = int(os.environ.get("FAVAE_BENCH_BATCH", "16"))
 WARMUP = 3
 ITERS = 20
+# FAVAE_BENCH_MODE: "synthetic" (default, fixed device batch),
+# "loader" (loader-only throughput: JPEG decode+transform on this host),
+# "real" (train step fed from the loader — end-to-end incl. input pipeline)
+MODE = os.environ.get("FAVAE_BENCH_MODE", "synthetic")
+
+
+def _jpeg_dataset(tmp_dir: str, n: int = 256, resolution: int = 256):
+    """Write a one-time synthetic JPEG corpus + pkl manifest so the loader
+    benchmark measures real decode/transform cost."""
+    import pickle
+    from PIL import Image
+    os.makedirs(tmp_dir, exist_ok=True)
+    manifest_path = os.path.join(tmp_dir, "bench.pkl")
+    if not os.path.exists(manifest_path):
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(n):
+            p = os.path.join(tmp_dir, f"img_{i:04d}.jpg")
+            Image.fromarray((rng.rand(resolution + 32, resolution + 32, 3)
+                             * 255).astype(np.uint8)).save(p, quality=92)
+            paths.append(p)
+        with open(manifest_path, "wb") as f:
+            pickle.dump(paths, f)
+    return manifest_path
+
+
+def _make_loader(batch: int):
+    from favae_tpu.data.pipeline import DataLoader, PklImageDataset
+    manifest = _jpeg_dataset(os.path.expanduser("~/.cache/favae_bench_jpegs"))
+    ds = PklImageDataset(manifest, resolution=256)
+    return DataLoader(ds, batch_size=batch, num_workers=8, drop_last=False)
+
+
+def bench_loader():
+    """Loader-only imgs/s: PIL JPEG decode + resize + normalize on this host
+    (the input pipeline must outrun the train step to keep the chip busy)."""
+    batch = BATCH_PER_CHIP * max(jax.device_count(), 1)
+    dl = _make_loader(batch)
+    dl.set_epoch(0)
+    n = 0
+    it = iter(dl)
+    next(it)  # warm the thread pool / page cache
+    t0 = time.perf_counter()
+    for x in it:
+        n += x.shape[0]
+    dt = time.perf_counter() - t0
+    imgs_per_sec = n / dt
+    print(json.dumps({
+        "metric": "imgs/sec input pipeline (JPEG decode @256px)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -70,15 +123,39 @@ def main():
         state, m = step(state, x, rng)
     jax.block_until_ready(m["loss_g"])
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, m = step(state, x, rng)
-    jax.block_until_ready(m["loss_g"])
-    dt = (time.perf_counter() - t0) / ITERS
+    if MODE == "real":
+        # feed each step from the input pipeline (JPEG decode on this host)
+        dl = _make_loader(batch)
+        dl.set_epoch(0)
+        it = iter(dl)
+        n_done = 0
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            try:
+                xb = next(it)
+            except StopIteration:
+                dl.set_epoch(1)
+                it = iter(dl)
+                xb = next(it)
+            if xb.shape[0] != batch:
+                continue
+            state, m = step(state, jnp.asarray(xb), rng)
+            n_done += xb.shape[0]
+        jax.block_until_ready(m["loss_g"])
+        dt = time.perf_counter() - t0
+        imgs_per_sec_chip = n_done / dt / n_chips
+        label = "imgs/sec/chip VQGAN(expe_5) train step @256px (loader-fed)"
+    else:
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, m = step(state, x, rng)
+        jax.block_until_ready(m["loss_g"])
+        dt = (time.perf_counter() - t0) / ITERS
+        imgs_per_sec_chip = batch / dt / n_chips
+        label = "imgs/sec/chip VQGAN(expe_5) train step @256px"
 
-    imgs_per_sec_chip = batch / dt / n_chips
     print(json.dumps({
-        "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
+        "metric": label,
         "value": round(imgs_per_sec_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_chip / A100_BASELINE_IMGS_PER_SEC, 3),
@@ -86,4 +163,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE == "loader":
+        bench_loader()
+    else:
+        main()

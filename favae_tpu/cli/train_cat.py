@@ -161,11 +161,14 @@ def main(argv=None):
                                   with_captions=True)
                   if args.val_file else None)
 
-    train_dl = DataLoader(train_ds, batch_size=global_batch,
+    # each host loads only its shard of the global batch (shard_batch()
+    # assembles the global array from the per-process pieces)
+    host_batch = global_batch // jax.process_count()
+    train_dl = DataLoader(train_ds, batch_size=host_batch,
                           num_workers=args.num_workers,
                           shard_index=jax.process_index(),
                           shard_count=jax.process_count())
-    val_dl = (DataLoader(val_ds, batch_size=global_batch, shuffle=False,
+    val_dl = (DataLoader(val_ds, batch_size=host_batch, shuffle=False,
                          num_workers=args.num_workers,
                          shard_index=jax.process_index(),
                          shard_count=jax.process_count())

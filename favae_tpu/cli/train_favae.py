@@ -69,7 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gaussian_sigma", type=float, default=3.0)
     p.add_argument("--dsl_init_sigma", type=float, default=3.0)
     p.add_argument("--use_patch_discriminator", action="store_true")
+    p.add_argument("--use_actnorm", action="store_true",
+                   help="ActNorm instead of BatchNorm in the PatchGAN "
+                        "(data-dependent init on the first batch; reference: "
+                        "models/discriminator.py:53-138)")
     p.add_argument("--disc_n_layers", type=int, default=3)
+    p.add_argument("--kmeans_init", action="store_true",
+                   help="k-means codebook init from the first batch "
+                        "(reference: models/l2_quantize.py:224-240,352-368)")
+    p.add_argument("--kmeans_iters", type=int, default=10)
+    p.add_argument("--threshold_ema_dead_code", type=float, default=0.0)
     p.add_argument("--num_groups", type=int, default=32)
     p.add_argument("--lpips_ckpt", type=str, default=None,
                    help="path to the torch vgg16_lpips.pt weights")
@@ -125,12 +134,14 @@ def config_from_args(args):
                 codebook_dim=args.codebook_dim,
                 use_cosine_sim=args.use_cosine_sim,
                 commitment_weight=args.codebook_weight,
+                kmeans_init=args.kmeans_init, kmeans_iters=args.kmeans_iters,
+                threshold_ema_dead_code=args.threshold_ema_dead_code,
                 orthogonal_reg_weight=args.orthogonal_reg_weight,
                 orthogonal_reg_max_codes=args.orthogonal_reg_max_codes,
                 orthogonal_reg_active_codes_only=args.orthogonal_reg_active_codes_only),
             discriminator=C.DiscriminatorConfig(
                 kind="patch" if args.use_patch_discriminator else "conv",
-                num_layers=args.disc_n_layers),
+                num_layers=args.disc_n_layers, use_actnorm=args.use_actnorm),
             fcm_kind=fcm, dsl_mode=dsl, compute_dtype=args.compute_dtype)
         loss_cfg = C.LossConfig(
             perceptual_weight=args.perceptual_weight,
@@ -177,6 +188,9 @@ def main(argv=None):
 
     res = model_cfg.codec.resolution
     global_batch = train_cfg.batch_size * jax.device_count()
+    # each host loads only its shard of the global batch; shard_batch()
+    # assembles the global array from the per-process pieces
+    host_batch = global_batch // jax.process_count()
     if args.synthetic_data or args.train_file is None:
         train_ds = SyntheticDataset(resolution=res, size=64 * global_batch)
         val_ds = SyntheticDataset(resolution=res, size=4 * global_batch, seed=7)
@@ -185,11 +199,11 @@ def main(argv=None):
         val_ds = (PklImageDataset(args.test_file, resolution=res)
                   if args.test_file else None)
 
-    train_dl = DataLoader(train_ds, batch_size=global_batch,
+    train_dl = DataLoader(train_ds, batch_size=host_batch,
                           num_workers=args.num_workers,
                           shard_index=jax.process_index(),
                           shard_count=jax.process_count())
-    val_dl = (DataLoader(val_ds, batch_size=global_batch, shuffle=False,
+    val_dl = (DataLoader(val_ds, batch_size=host_batch, shuffle=False,
                          num_workers=args.num_workers,
                          shard_index=jax.process_index(),
                          shard_count=jax.process_count())

@@ -82,11 +82,10 @@ class QuantizerConfig:
     commitment_weight: float = 1.0
     # dead-code expiry. The reference's VectorQuantize wrapper defaults this to 0
     # (disabled) and VQGANFCM never overrides it (models/l2_quantize.py:461).
+    # When enabled, replacements are drawn per-code from the local batch with a
+    # shared RNG key (static-shape substitute for the reference's variably-sized
+    # all_gather at models/l2_quantize.py:82-115).
     threshold_ema_dead_code: float = 0.0
-    # number of global candidate vectors gathered for dead-code replacement
-    # (TPU-native, static-shape substitute for the reference's variably-sized
-    # all_gather at models/l2_quantize.py:82-115)
-    expire_candidates: int = 1024
     sample_codebook_temp: float = 0.0
     kmeans_init: bool = False
     kmeans_iters: int = 10
@@ -199,6 +198,31 @@ class CLIPTextConfig:
     heads: int = 12
     layers: int = 12
     embed_dim: int = 768  # projection dim
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT vision tower (reference: CLIP/clip/model.py:208-243).
+    ViT-L/14 defaults; ViT-B/32 = (224, 32, 768, 12, 12, 512)."""
+
+    input_resolution: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    output_dim: int = 768
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPResNetConfig:
+    """CLIP ModifiedResNet vision tower (reference: CLIP/clip/model.py:96-158).
+    RN50 defaults."""
+
+    layers: tuple = (3, 4, 6, 3)
+    width: int = 64
+    heads: int = 32          # embed_dim(=width*32) // 64
+    output_dim: int = 1024
+    input_resolution: int = 224
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,8 +50,9 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask):
-        # pre-norm MHA
+    def __call__(self, x, attn_mask=None):
+        # pre-norm MHA; attn_mask is the causal mask for the text tower, None
+        # for the vision tower (full attention)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         h = h.astype(self.dtype)
         d = self.width
@@ -64,7 +65,9 @@ class ResidualAttentionBlock(nn.Module):
         k = k.reshape(b, n, self.heads, dh)
         v = v.reshape(b, n, self.heads, dh)
         sim = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        sim = sim * (dh ** -0.5) + attn_mask[None, None]
+        sim = sim * (dh ** -0.5)
+        if attn_mask is not None:
+            sim = sim + attn_mask[None, None]
         att = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, name="attn_out")(out)

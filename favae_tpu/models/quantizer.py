@@ -183,8 +183,8 @@ def _expire_dead_codes(cfg: QuantizerConfig, state: CodebookState,
                        flatten: jax.Array, rng: jax.Array) -> CodebookState:
     """Replace codes whose EMA cluster size fell below the threshold with
     random batch vectors (reference: models/l2_quantize.py:252-262,379-389).
-    Static shapes: draw `expire_candidates` indices from the local batch with a
-    shared key; under SPMD each replica replaces with its local draw of the
+    Static shapes: draw one candidate index per code from the local batch with
+    a shared key; under SPMD each replica replaces with its local draw of the
     replicated decision mask (the subsequent EMA keeps books in sync since the
     mask is identical and candidates come from the same global-view batch)."""
     k = cfg.codebook_size

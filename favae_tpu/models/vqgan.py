@@ -70,8 +70,24 @@ class VQGANFCM(nn.Module):
         (reference: models/vqgan_fcm.py:120-122)."""
         return self.decoder(z, train=train, inference=inference)
 
-    def discriminate(self, x, *, train: bool = False):
+    def discriminate(self, x, *, train: bool = False, data_init: bool = False):
+        if data_init:
+            # first-batch ActNorm data-dependent init (PatchGAN only;
+            # reference: models/discriminator.py:67-86)
+            return self.discriminator(x, train=train, data_init=True)
         return self.discriminator(x, train=train)
+
+    def codebook_inputs(self, x):
+        """Flattened (projected) latent vectors exactly as the codebook sees
+        them — for the eager first-batch k-means init (reference:
+        models/l2_quantize.py:352-368 runs init_embed_ on the projected,
+        and for cosine l2-normalized, flatten)."""
+        z, _ = self.encoder(x, train=False, inference=True)
+        b, h, w, c = z.shape
+        flat = z.astype(jnp.float32).reshape(b * h * w, c)
+        if self.quantizer.project_in is not None:
+            flat = self.quantizer.project_in(flat)
+        return flat
 
     def decode_code(self, indices, cb_state: CodebookState):
         """Sampled token grid -> image (reference:

@@ -41,8 +41,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host numpy batch onto the mesh sharded along 'dp'."""
+    """Place a host batch onto the mesh sharded along 'dp'.
+
+    Single-host: a plain device_put with the dp sharding. Multi-host: each
+    process holds only its own shard of the global batch (the data pipeline
+    shards by process), so assemble a global array from the process-local
+    data — after this, every jnp reduction inside the jitted step/eval is a
+    true GLOBAL reduction (the SPMD equivalent of the reference's
+    accelerator.gather at favae_scripts/train_favae.py:210-219)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

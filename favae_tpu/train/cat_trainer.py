@@ -61,13 +61,13 @@ class CATTrainer:
             print0(f"resumed CAT from epoch {self.start_epoch}")
 
     def _prep_batch(self, batch):
-        """(images, [clip_images], captions) -> (x, text_ids)."""
+        """(images, [clip_images], captions) -> (x, text_ids, captions)."""
         if len(batch) == 3:
             x, _clip_x, captions = batch
         else:
             x, captions = batch
         text_ids = self.cat.tokenize(captions)
-        return jnp.asarray(x), text_ids
+        return jnp.asarray(x), text_ids, captions
 
     def train_epoch(self, loader, epoch: int, print_steps=10, img_steps=1000):
         import time
@@ -77,7 +77,7 @@ class CATTrainer:
         t_last = time.perf_counter()
         seen = 0
         for step, batch in enumerate(loader):
-            x, text_ids = self._prep_batch(batch)
+            x, text_ids, captions = self._prep_batch(batch)
             self.state, m = self.train_step(self.state, self.frozen, x, text_ids, self.rng)
             seen += x.shape[0]
             gstep = epoch * steps_per_epoch + step
@@ -94,29 +94,33 @@ class CATTrainer:
                 print0(f"epoch {epoch} step {step} loss_gpt={loss:.4f} "
                        f"lr={lr_now:.3e} samples/s={sps:.2f}")
             if img_steps and gstep % img_steps == 0:
-                self._log_samples("train/from-cond", x, text_ids, gstep)
+                self._log_samples("train/from-cond", x, text_ids, captions,
+                                  gstep)
         return last_loss
 
-    def _log_samples(self, name, x, text_ids, step, n=4):
+    def _log_samples(self, name, x, text_ids, captions, step, n=4):
         imgs, _ = self.cat.sample_images(
             self.state.gpt_params, text_ids[:n],
             rng=jax.random.fold_in(self.rng, step),
             top_k=self.cfg.top_k, top_p=self.cfg.top_p)
-        self.writer.recon_grid(name, np.asarray(x[:n]), np.asarray(imgs), step)
+        self.writer.caption_grid(name, np.asarray(x[:n]), np.asarray(imgs),
+                                 list(captions[:n]), step)
 
     def validate(self, loader, epoch: int) -> float:
+        # device-side accumulation; one host fetch at the end
         total, n = 0.0, 0
         last = None
         for batch in loader:
-            x, text_ids = self._prep_batch(batch)
+            x, text_ids, captions = self._prep_batch(batch)
             m = self.eval_step(self.state, self.frozen, x, text_ids)
-            total += float(m["loss_gpt"]) * x.shape[0]
+            total = total + m["loss_gpt"] * x.shape[0]
             n += x.shape[0]
-            last = (x, text_ids)
-        val = total / max(n, 1)
+            last = (x, text_ids, captions)
+        val = float(total) / max(n, 1)
         self.writer.scalars("val", {"loss_gpt": val}, epoch)
         if last is not None:
-            self._log_samples("val/from-cond", last[0], last[1], epoch)
+            self._log_samples("val/from-cond", last[0], last[1], last[2],
+                              epoch)
         print0(f"=== validate CAT epoch {epoch}: loss_gpt={val:.4f}")
         return val
 

@@ -63,7 +63,6 @@ class FavaeTrainState(struct.PyTreeNode):
     opt_d: optax.OptState
     lpips_params: Any           # frozen perceptual net
     step: jax.Array             # int32 global step
-    loss_scale: jax.Array = struct.field(default=None)  # reserved
 
     @classmethod
     def create(cls, model_cfg: VQGANConfig, loss_cfg: LossConfig,

@@ -82,6 +82,82 @@ class FavaeTrainer:
         return jnp.asarray(x)
 
     # ------------------------------------------------------------------
+    def _data_dependent_init(self, x0: np.ndarray) -> None:
+        """First-batch data-dependent initializations, reproducing what the
+        reference does lazily inside its first training forward:
+
+        * k-means codebook init (reference: models/l2_quantize.py:352-368
+          init_embed_ -> kmeans at :124-164; embed/cluster_size replaced,
+          euclidean also copies embed into embed_avg at :224-240);
+        * ActNorm loc/scale from each norm layer's first input
+          (reference: models/discriminator.py:67-86), computed on the
+          reconstruction like the reference's stage-0 D(x_recon) forward.
+        """
+        from flax.core import unfreeze
+        from favae_tpu.models.quantizer import kmeans, l2norm
+        from favae_tpu.models.vqgan import VQGANFCM
+        from favae_tpu.train.favae_state import merge_params
+
+        qcfg = self.model_cfg.quantizer
+        dcfg = self.model_cfg.discriminator
+        use_actnorm = dcfg.use_actnorm and dcfg.kind == "patch"
+        if not (qcfg.kmeans_init or use_actnorm):
+            return
+
+        x = self._place(np.asarray(x0))
+        variables = {"params": merge_params(self.state.params_g,
+                                            self.state.params_d)}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+
+        if qcfg.kmeans_init:
+            @jax.jit
+            def _init_codebook(variables, x, key):
+                flat = self.model.apply(variables, x,
+                                        method=VQGANFCM.codebook_inputs)
+                if qcfg.use_cosine_sim:
+                    flat = l2norm(flat)
+                means, bins = kmeans(key, flat, qcfg.codebook_size,
+                                     num_iters=qcfg.kmeans_iters,
+                                     use_cosine_sim=qcfg.use_cosine_sim)
+                return means, bins
+
+            self.rng, key = jax.random.split(self.rng)
+            means, bins = _init_codebook(variables, x, key)
+            cb = self.state.cb_state.replace(
+                embed=means, cluster_size=bins, embed_avg=means)
+            if self.mesh is not None:
+                cb = replicate_tree(cb, self.mesh)
+            self.state = self.state.replace(cb_state=cb)
+            print0(f"k-means codebook init: {int(np.sum(np.asarray(bins) > 0))}"
+                   f"/{qcfg.codebook_size} bins populated")
+
+        if use_actnorm:
+            @jax.jit
+            def _actnorm_values(variables, cb_state, x):
+                outs = self.model.apply(variables, x, cb_state,
+                                        train=False, inference=True)
+                _, mut = self.model.apply(
+                    variables, outs["x_recon"], train=False, data_init=True,
+                    method=VQGANFCM.discriminate, mutable=["actnorm_init"])
+                return mut["actnorm_init"]
+
+            sown = unfreeze(_actnorm_values(variables, self.state.cb_state, x))
+            disc = dict(self.state.params_d["discriminator"])
+            for name, vals in sown["discriminator"].items():
+                layer = dict(disc[name])
+                layer["loc"] = vals["loc"]
+                layer["scale"] = vals["scale"]
+                disc[name] = layer
+            params_d = dict(self.state.params_d)
+            params_d["discriminator"] = disc
+            if self.mesh is not None:
+                params_d = replicate_tree(params_d, self.mesh)
+            self.state = self.state.replace(params_d=params_d)
+            print0(f"ActNorm data-dependent init: {len(sown['discriminator'])} "
+                   "layers initialized from the first batch")
+
+    # ------------------------------------------------------------------
     def train_epoch(self, loader, epoch: int) -> None:
         cfg = self.train_cfg
         disc_on = epoch >= self.loss_cfg.disc_start_epochs
@@ -130,6 +206,8 @@ class FavaeTrainer:
     # ------------------------------------------------------------------
     def validate(self, loader, epoch: int) -> float:
         """L1 + LPIPS over the val set (reference: train_favae.py:180-231)."""
+        # accumulate on device; fetch once at the end (per-batch float() would
+        # force a device round-trip per batch)
         totals = {"loss_l1": 0.0, "loss_perceptual": 0.0, "loss_recon": 0.0}
         n = 0
         last = None
@@ -137,11 +215,11 @@ class FavaeTrainer:
             out = self.eval_step(self.state, self._place(x))
             b = x.shape[0]
             for k in totals:
-                totals[k] += float(out[k]) * b
+                totals[k] = totals[k] + out[k] * b
             n += b
             last = (x, out)
         for k in totals:
-            totals[k] /= max(n, 1)
+            totals[k] = float(totals[k]) / max(n, 1)
         self.writer.scalars("val", totals, epoch)
         if last is not None:
             self.writer.recon_grid("val/img-recon", last[0][:4],
@@ -153,6 +231,11 @@ class FavaeTrainer:
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader, epochs: Optional[int] = None):
         epochs = epochs or self.train_cfg.epochs
+        if self.start_epoch == 0:
+            train_loader.set_epoch(0)
+            first = next(iter(train_loader), None)
+            if first is not None:
+                self._data_dependent_init(first)
         for epoch in range(self.start_epoch, epochs):
             if self.enable_profiler and epoch == self.start_epoch:
                 jax.profiler.start_trace(self.ckpt.save_dir + "/profile")

@@ -62,6 +62,42 @@ class MetricWriter:
         self._writer.add_image(name, grid, step, dataformats="HWC")
         self._writer.flush()
 
+    def caption_grid(self, name: str, x: np.ndarray, samples: np.ndarray,
+                     captions, step: int):
+        """One column per sample: [input; generated] with the caption drawn
+        underneath (reference: cat_scripts/train_cat.py:44-66 renders captions
+        as matplotlib subplot titles; here drawn into the image with PIL so it
+        works headless). Falls back to a bare grid without PIL."""
+        if self._writer is None:
+            return
+        x = np.clip(np.asarray(x) * 0.5 + 0.5, 0.0, 1.0)
+        samples = np.clip(np.asarray(samples) * 0.5 + 0.5, 0.0, 1.0)
+        n, h, w, c = x.shape
+        try:
+            from textwrap import wrap
+            from PIL import Image, ImageDraw
+            line_h, pad = 12, 4
+            wrapped = [wrap(str(cap), max(8, w // 7))[:4] or [""]
+                       for cap in captions[:n]]
+            strip_h = pad * 2 + line_h * max(len(ls) for ls in wrapped)
+            grid = np.zeros((2 * h + strip_h, n * w, c), np.float32)
+            for i in range(n):
+                grid[:h, i * w:(i + 1) * w] = x[i]
+                grid[h:2 * h, i * w:(i + 1) * w] = samples[i]
+            img = Image.fromarray((grid * 255).astype(np.uint8))
+            draw = ImageDraw.Draw(img)
+            for i, lines in enumerate(wrapped):
+                for j, line in enumerate(lines):
+                    draw.text((i * w + 2, 2 * h + pad + j * line_h), line,
+                              fill=(255, 255, 255))
+            out = np.asarray(img, np.float32) / 255.0
+        except Exception:
+            out = np.concatenate([np.concatenate(list(x), axis=1),
+                                  np.concatenate(list(samples), axis=1)],
+                                 axis=0)
+        self._writer.add_image(name, out, step, dataformats="HWC")
+        self._writer.flush()
+
     def close(self):
         if self._writer is not None:
             self._writer.close()

@@ -309,6 +309,99 @@ def convert_clip_text(path_or_sd, layers: int = 12) -> Dict[str, Any]:
     return _to_f32(p)
 
 
+def _strip_prefix(sd, prefix: str):
+    if any(k.startswith(prefix) for k in sd):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+    return sd
+
+
+def convert_clip_vision(path_or_sd) -> Dict[str, Any]:
+    """OpenAI CLIP ViT vision tower -> CLIPVisionTransformer params
+    (reference: CLIP/clip/model.py:208-243). Accepts the full CLIP state_dict
+    (keys prefixed 'visual.') or one already stripped."""
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    sd = _strip_prefix(sd, "visual.")
+    p: Dict[str, Any] = {
+        # torch patchify conv: (width, 3, P, P) OIHW -> HWIO
+        "conv1": {"kernel": sd["conv1.weight"].transpose(2, 3, 1, 0)},
+        "class_embedding": sd["class_embedding"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_pre": _norm(sd, "ln_pre"),
+        "ln_post": _norm(sd, "ln_post"),
+        "proj": sd["proj"],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        pre = f"transformer.resblocks.{i}"
+        w = sd[pre + ".attn.in_proj_weight"]
+        b = sd[pre + ".attn.in_proj_bias"]
+        c = w.shape[0] // 3
+        p[f"resblock_{i}"] = {
+            "ln_1": _norm(sd, pre + ".ln_1"),
+            "q": {"kernel": w[:c].T, "bias": b[:c]},
+            "k": {"kernel": w[c:2 * c].T, "bias": b[c:2 * c]},
+            "v": {"kernel": w[2 * c:].T, "bias": b[2 * c:]},
+            "attn_out": _linear(sd, pre + ".attn.out_proj"),
+            "ln_2": _norm(sd, pre + ".ln_2"),
+            "c_fc": _linear(sd, pre + ".mlp.c_fc"),
+            "c_proj": _linear(sd, pre + ".mlp.c_proj"),
+        }
+        i += 1
+    return _to_f32(p)
+
+
+def convert_clip_resnet(path_or_sd, layers=(3, 4, 6, 3)):
+    """OpenAI CLIP ModifiedResNet -> (params, batch_stats) for
+    CLIPModifiedResNet (reference: CLIP/clip/model.py:96-158)."""
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    sd = _strip_prefix(sd, "visual.")
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst, src):
+        params[dst] = {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+        stats[dst] = {"mean": sd[src + ".running_mean"],
+                      "var": sd[src + ".running_var"]}
+
+    def bn_into(pdict, sdict, dst, src):
+        pdict[dst] = {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+        sdict[dst] = {"mean": sd[src + ".running_mean"],
+                      "var": sd[src + ".running_var"]}
+
+    for n in (1, 2, 3):  # stem
+        params[f"conv{n}"] = {
+            "kernel": sd[f"conv{n}.weight"].transpose(2, 3, 1, 0)}
+        bn(f"bn{n}", f"bn{n}")
+
+    for li, blocks in enumerate(layers, start=1):
+        for bi in range(blocks):
+            src = f"layer{li}.{bi}"
+            name = f"layer{li}_{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for n in (1, 2, 3):
+                bp[f"conv{n}"] = {
+                    "kernel": sd[f"{src}.conv{n}.weight"].transpose(2, 3, 1, 0)}
+                bn_into(bp, bs, f"bn{n}", f"{src}.bn{n}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": sd[f"{src}.downsample.0.weight"]
+                    .transpose(2, 3, 1, 0)}
+                bn_into(bp, bs, "downsample_bn", f"{src}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+
+    params["attnpool"] = {
+        "positional_embedding": sd["attnpool.positional_embedding"],
+        "q_proj": _linear(sd, "attnpool.q_proj"),
+        "k_proj": _linear(sd, "attnpool.k_proj"),
+        "v_proj": _linear(sd, "attnpool.v_proj"),
+        "c_proj": _linear(sd, "attnpool.c_proj"),
+    }
+    return _to_f32(params), _to_f32(stats)
+
+
 # ---------------------------------------------------------------------------
 # CAT GPT (released CelebA_CAT.pt: {"transformer_model": state_dict, ...})
 # ---------------------------------------------------------------------------

@@ -55,6 +55,81 @@ def test_clip_text_parity_with_reference_torch():
     np.testing.assert_allclose(np.asarray(pooled), pooled_t.numpy(), atol=2e-4)
 
 
+def _load_ref_clip_model():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_model", os.path.join(REF, "CLIP/clip/model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_clip_vision_vit_parity_with_reference_torch():
+    """Random-init torch VisionTransformer (reference CLIP/clip/model.py:
+    208-243, incl. the modified forward returning ALL projected token embeds)
+    vs the flax tower through convert_clip_vision."""
+    if not HAS_REF:
+        pytest.skip("reference not mounted")
+    import torch
+    from favae_tpu.config import CLIPVisionConfig
+    from favae_tpu.models.clip_vision import CLIPVisionTransformer
+    from favae_tpu.utils.torch_convert import convert_clip_vision
+
+    mod = _load_ref_clip_model()
+    torch.manual_seed(0)
+    tm = mod.VisionTransformer(input_resolution=32, patch_size=16, width=64,
+                               layers=2, heads=4, output_dim=48).float().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_clip_vision(sd)
+
+    cfg = CLIPVisionConfig(input_resolution=32, patch_size=16, width=64,
+                           layers=2, heads=4, output_dim=48)
+    enc = CLIPVisionTransformer(cfg)
+
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        seq_t, cls_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    seq, cls = enc.apply({"params": params}, jnp.asarray(x))
+    assert seq.shape == (2, 1 + 4, 48)  # 1 CLS + (32/16)^2 patches
+    np.testing.assert_allclose(np.asarray(seq), seq_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls), cls_t.numpy(), atol=2e-4)
+
+
+def test_clip_vision_resnet_parity_with_reference_torch():
+    """Random-init torch ModifiedResNet (reference CLIP/clip/model.py:96-158:
+    3-conv stem, anti-aliased Bottlenecks, AttentionPool2d) vs the flax port."""
+    if not HAS_REF:
+        pytest.skip("reference not mounted")
+    import torch
+    from favae_tpu.config import CLIPResNetConfig
+    from favae_tpu.models.clip_vision import CLIPModifiedResNet
+    from favae_tpu.utils.torch_convert import convert_clip_resnet
+
+    mod = _load_ref_clip_model()
+    torch.manual_seed(0)
+    tm = mod.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=32, heads=4,
+                            input_resolution=32, width=16).float()
+    # make the BN running stats non-trivial before the eval comparison
+    with torch.no_grad():
+        for i in range(2):
+            tm.train()
+            tm(torch.randn(2, 3, 32, 32))
+    tm.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_clip_resnet(sd, layers=(1, 1, 1, 1))
+
+    cfg = CLIPResNetConfig(layers=(1, 1, 1, 1), width=16, heads=4,
+                           output_dim=32, input_resolution=32)
+    enc = CLIPModifiedResNet(cfg)
+
+    x = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = enc.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
 def test_bpe_tokenizer_parity_with_reference():
     """Byte-level BPE vs the reference SimpleTokenizer on the real merges."""
     vocab_gz = os.path.join(REF, "CLIP/clip/bpe_simple_vocab_16e6.txt.gz")

@@ -130,6 +130,68 @@ def test_trainer_fit_and_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_kmeans_init_wiring(tmp_path):
+    """--kmeans_init replaces the codebook from the first batch before step 0
+    (reference: models/l2_quantize.py:352-368 init_embed_)."""
+    model_cfg = VQGANConfig(
+        codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), resolution=32, z_channels=64),
+        quantizer=QuantizerConfig(codebook_size=16, dim=64, use_cosine_sim=True,
+                                  kmeans_init=True, kmeans_iters=4),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=2),
+        fcm_kind=FCM_RES, dsl_mode=DSL_NONPAIR, compute_dtype="float32",
+    )
+    loss_cfg = LossConfig(gaussian_kernel=3, dsl_init_sigma=1.0)
+    train_cfg = TrainConfig(batch_size=1, epochs=1)
+    trainer = FavaeTrainer(model_cfg, loss_cfg, train_cfg, str(tmp_path / "ck"))
+
+    before = np.asarray(trainer.state.cb_state.embed).copy()
+    ds = SyntheticDataset(resolution=32, size=8)
+    x0 = np.stack([ds.get(i) for i in range(8)])  # divisible by the 8-dev mesh
+    trainer._data_dependent_init(x0)
+
+    embed = np.asarray(trainer.state.cb_state.embed)
+    bins = np.asarray(trainer.state.cb_state.cluster_size)
+    assert not np.allclose(before, embed)
+    # cosine codebook: every row l2-normalized; bins count all latent tokens
+    np.testing.assert_allclose(np.linalg.norm(embed, axis=-1), 1.0, atol=1e-4)
+    assert np.isclose(bins.sum(), 8 * 16 * 16)  # B * (32/2)^2 tokens
+    np.testing.assert_allclose(np.asarray(trainer.state.cb_state.embed_avg),
+                               embed)
+
+
+def test_actnorm_init_wiring(tmp_path):
+    """ActNorm loc/scale are data-initialized from the first batch
+    (reference: models/discriminator.py:67-86)."""
+    model_cfg = VQGANConfig(
+        codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), resolution=32, z_channels=64),
+        quantizer=QuantizerConfig(codebook_size=16, dim=64, use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="patch", num_layers=2,
+                                          use_actnorm=True),
+        fcm_kind=FCM_RES, dsl_mode=DSL_NONPAIR, compute_dtype="float32",
+    )
+    loss_cfg = LossConfig(gaussian_kernel=3, dsl_init_sigma=1.0)
+    train_cfg = TrainConfig(batch_size=1, epochs=1)
+    trainer = FavaeTrainer(model_cfg, loss_cfg, train_cfg, str(tmp_path / "ck"))
+
+    ds = SyntheticDataset(resolution=32, size=8)
+    x0 = np.stack([ds.get(i) for i in range(8)])  # divisible by the 8-dev mesh
+    trainer._data_dependent_init(x0)
+
+    disc = trainer.state.params_d["discriminator"]
+    n_norm = 0
+    for name, layer in disc.items():
+        if "loc" in layer:
+            n_norm += 1
+            loc = np.asarray(layer["loc"])
+            scale = np.asarray(layer["scale"])
+            assert not np.allclose(loc, 0.0), name
+            assert not np.allclose(scale, 1.0), name
+            assert np.all(np.isfinite(loc)) and np.all(scale > 0)
+    assert n_norm == 2  # norm_1, norm_2
+
+
 def test_checkpoint_atomic_roundtrip(tmp_path):
     state = {"a": np.arange(5, dtype=np.float32), "b": {"c": np.zeros((), np.float32)}}
     p = str(tmp_path / "ck")

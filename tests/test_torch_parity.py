@@ -205,6 +205,53 @@ def test_train_mode_tap_parity(torch_flags, fcm_kind, dsl_mode):
         assert err < 5e-3, f"dec tap {i}: {err}"
 
 
+def test_actnorm_data_init_parity():
+    """Our data_init pass reproduces the reference ActNorm first-forward
+    initialization exactly: loc = -mean, scale = 1/(std+1e-6) per channel of
+    each norm layer's input, applied sequentially so later layers see
+    initialized activations (reference: models/discriminator.py:67-86,98-101).
+    """
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from models.discriminator import PatchDiscriminator as TPD
+    finally:
+        sys.path.remove(REF)
+    from favae_tpu.config import DiscriminatorConfig, VQGANConfig
+    from favae_tpu.models.discriminator import build_discriminator
+    from favae_tpu.utils.torch_convert import _discriminator
+
+    torch.manual_seed(0)
+    tm = TPD(num_layers=2, use_actnorm=True)
+    sd0 = {f"discriminator.{k}": v.detach().numpy().copy()
+           for k, v in tm.state_dict().items()}          # pre-init: loc 0 scale 1
+
+    x_np = (np.random.RandomState(3).rand(4, 32, 32, 3)
+            .astype(np.float32) * 2 - 1)
+    tm.train()
+    with torch.no_grad():
+        tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))  # triggers init
+    sd1 = {f"discriminator.{k}": v.detach().numpy()
+           for k, v in tm.state_dict().items()}
+
+    cfg = VQGANConfig(discriminator=DiscriminatorConfig(
+        kind="patch", num_layers=2, use_actnorm=True))
+    params0, _ = _discriminator(sd0, cfg)
+    params1, _ = _discriminator(sd1, cfg)
+
+    model = build_discriminator(cfg.discriminator, dtype=jnp.float32)
+    _, mut = model.apply({"params": params0}, jnp.asarray(x_np), train=False,
+                         data_init=True, mutable=["actnorm_init"])
+    sown = mut["actnorm_init"]
+    for name in ("norm_1", "norm_2"):
+        np.testing.assert_allclose(np.asarray(sown[name]["loc"]),
+                                   params1[name]["loc"],
+                                   atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(sown[name]["scale"]),
+                                   params1[name]["scale"],
+                                   rtol=1e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("kind,n_layers", [("conv", 3), ("patch", 2), ("patch", 3)])
 def test_discriminator_parity(kind, n_layers):
     """Converted discriminator weights must reproduce the reference logits
