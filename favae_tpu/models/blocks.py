@@ -18,14 +18,42 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from favae_tpu.ops.gn_pallas import group_norm_act
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm with optionally fused SiLU (torch GroupNorm semantics,
+    eps=1e-5 — reference: models/codec.py:39 et al.).
+
+    On TPU this routes to the fused Pallas kernels in ops/gn_pallas.py (the
+    train step is HBM-bound; fusing the f32 stats + normalize + SiLU into two
+    streaming passes removes the convert+reduce fusions that were ~20% of
+    device time). Elsewhere it is numerically identical to
+    flax nn.GroupNorm(dtype=dtype) followed by nn.silu. Param names (scale,
+    bias) match nn.GroupNorm so checkpoint converters are unaffected."""
+
+    num_groups: int = 32
+    act: Optional[str] = None  # None | "silu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_act(x, scale, bias, self.num_groups, act=self.act,
+                              out_dtype=self.dtype)
+
 
 def group_norm(num_groups: int = 32, name: Optional[str] = None,
-               dtype=jnp.float32) -> nn.GroupNorm:
-    # torch GroupNorm default eps=1e-5 (reference: models/codec.py:39 et al.).
-    # flax computes the statistics in float32 regardless of `dtype`; returning
-    # the compute dtype (bf16 in production) halves activation HBM traffic —
-    # the step is bandwidth-bound (~65% of HBM BW vs ~24% of peak FLOPs).
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype,
+               dtype=jnp.float32) -> GroupNormAct:
+    # plain GroupNorm (no fused activation): AttnBlock/TransEncoderBlock taps
+    return GroupNormAct(num_groups=num_groups, dtype=dtype, name=name)
+
+
+def group_norm_silu(num_groups: int = 32, name: Optional[str] = None,
+                    dtype=jnp.float32) -> GroupNormAct:
+    return GroupNormAct(num_groups=num_groups, act="silu", dtype=dtype,
                         name=name)
 
 
@@ -75,11 +103,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         in_c = x.shape[-1]
-        h = group_norm(self.num_groups, name="norm1", dtype=self.dtype)(x)
-        h = nn.silu(h)
+        h = group_norm_silu(self.num_groups, name="norm1", dtype=self.dtype)(x)
         h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(self.num_groups, name="norm2", dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = group_norm_silu(self.num_groups, name="norm2", dtype=self.dtype)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
@@ -101,11 +127,9 @@ class NonResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = group_norm(self.num_groups, name="norm1", dtype=self.dtype)(x)
-        h = nn.silu(h)
+        h = group_norm_silu(self.num_groups, name="norm1", dtype=self.dtype)(x)
         h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(self.num_groups, name="norm2", dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = group_norm_silu(self.num_groups, name="norm2", dtype=self.dtype)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)

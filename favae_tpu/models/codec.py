@@ -37,7 +37,7 @@ from favae_tpu.models.blocks import (
     Upsample,
     conv1x1,
     conv3x3,
-    group_norm,
+    group_norm_silu,
 )
 from favae_tpu.ops.gaussian import gaussian_blur_nhwc
 
@@ -110,8 +110,7 @@ class Encoder(nn.Module):
         # final: GN -> SiLU -> 3x3 conv to z -> extra 1x1 conv
         # (reference: models/codec.py:170-175)
         zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        h = group_norm(32, name="final_norm", dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = group_norm_silu(32, name="final_norm", dtype=self.dtype)(h)
         h = conv3x3(zc, self.dtype, name="final_conv")(h)
         h = conv1x1(cfg.z_channels, self.dtype, name="final_proj")(h)
         tap(h, 3)
@@ -240,8 +239,7 @@ class Decoder(nn.Module):
             h = fcm(h, 4)
 
         # final: GN -> SiLU -> 3x3 conv to RGB
-        h = group_norm(32, name="final_norm", dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = group_norm_silu(32, name="final_norm", dtype=self.dtype)(h)
         h_pre = h
         x = conv3x3(cfg.out_channels, self.dtype, name="final_conv")(h_pre)
         return x.astype(jnp.float32), taps, h_pre

@@ -270,8 +270,12 @@ def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None,
         target,
         methods={
             "__call__": dict(in_axes=(nn.broadcast, nn.broadcast), **common),
+            # decode fully unrolls the layer loop: the per-token body is tiny
+            # (dozens of (2b, d) matmuls) and a rolled 24-iteration while loop
+            # leaves the MXU idle on loop overhead; unrolled, XLA prefetches
+            # each layer's weights during the previous layer's compute
             "decode": dict(in_axes=(0, 0, nn.broadcast, nn.broadcast),
-                           out_axes=0, **common),
+                           out_axes=0, unroll=cfg.n_layer, **common),
             "kv": dict(in_axes=(nn.broadcast,), out_axes=0, **common),
         })
     return Scanned(cfg, deterministic=deterministic, dtype=dtype, name=name)

@@ -58,29 +58,47 @@ class VGG16Features(nn.Module):
         return outs
 
 
+def _scale_in(t):
+    return (t.astype(jnp.float32) - _SHIFT) / _SCALE
+
+
+def _unit_norm(t, eps=1e-10):
+    t = t.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+    return t / (n + eps)
+
+
 class LPIPS(nn.Module):
-    """Learned perceptual metric. Returns per-sample distances (N,)."""
+    """Learned perceptual metric. Returns per-sample distances (N,).
+
+    `features(x)` / `dist(fx, y)` split the two VGG towers so a constant
+    branch (the real image, fixed within a train step) can be computed once
+    and shared between the stage-0 loss and the adaptive-weight tail —
+    the train-step profile showed LPIPS at ~17% of device time, much of it
+    duplicated VGG(x) evaluations."""
 
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, y):
-        def scale_in(t):
-            return (t.astype(jnp.float32) - _SHIFT) / _SCALE
+    def setup(self):
+        self.vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        self.lin_heads = [
+            nn.Conv(1, (1, 1), use_bias=False, dtype=jnp.float32,
+                    name=f"lin{k}")
+            for k in range(len(LPIPS_CHANNELS))
+        ]
 
-        net = VGG16Features(dtype=self.dtype, name="vgg")
-        fx = net(scale_in(x))
-        fy = net(scale_in(y))
+    def features(self, x):
+        """Unit-normalized VGG feature pyramid of one image batch."""
+        return [_unit_norm(f) for f in self.vgg(_scale_in(x))]
 
-        def unit_norm(t, eps=1e-10):
-            t = t.astype(jnp.float32)
-            n = jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
-            return t / (n + eps)
-
+    def dist(self, fx_normed, y):
+        """Distance given precomputed `features(x)` and a second image."""
+        fy = self.vgg(_scale_in(y))
         total = 0.0
         for k in range(len(LPIPS_CHANNELS)):
-            d = (unit_norm(fx[k]) - unit_norm(fy[k])) ** 2
-            lin = nn.Conv(1, (1, 1), use_bias=False, dtype=jnp.float32,
-                          name=f"lin{k}")(d)
-            total = total + jnp.mean(lin, axis=(1, 2, 3))
+            d = (fx_normed[k] - _unit_norm(fy[k])) ** 2
+            total = total + jnp.mean(self.lin_heads[k](d), axis=(1, 2, 3))
         return total
+
+    def __call__(self, x, y):
+        return self.dist(self.features(x), y)

@@ -39,16 +39,23 @@ def focal_frequency_loss(
     log_matrix: bool = False,
     batch_matrix: bool = False,
     matrix: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """FFL between NHWC `pred` and `target`. Returns a scalar.
 
     `matrix` optionally supplies a precomputed spectrum weight (detached).
+    `compute_dtype` routes the DFT matmuls (defaults to bfloat16 on TPU —
+    the distance/weight math downstream is always float32).
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                         else jnp.float32)
 
     # DFT is linear: F_pred - F_true = DFT(pred - target). One transform.
-    diff_re, diff_im = dft2_real_nhwc(pred - target, norm="ortho")
+    diff_re, diff_im = dft2_real_nhwc(pred - target, norm="ortho",
+                                      compute_dtype=compute_dtype)
     dist = diff_re * diff_re + diff_im * diff_im  # (N, H, W, C)
 
     if matrix is not None:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import optax
 
 from favae_tpu.config import DSL_PAIR, LossConfig, TrainConfig, VQGANConfig
+from favae_tpu.models.lpips import LPIPS
 from favae_tpu.models.vqgan import VQGANFCM
 from favae_tpu.ops.ffl import feature_tap_ffl, focal_frequency_loss
 from favae_tpu.ops.gaussian import gaussian_blur_nhwc
@@ -76,15 +77,23 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
             return logits, mutated["batch_stats"]
         return out, batch_stats
 
-    def _lpips(lpips_params, a, b):
-        return jnp.mean(lpips_model.apply({"params": lpips_params}, a, b))
-
     def train_step(state: FavaeTrainState, x: jax.Array, rng: jax.Array
                    ) -> Tuple[FavaeTrainState, Dict[str, jax.Array]]:
         x = x.astype(jnp.float32)
         rng = jax.random.fold_in(rng, state.step)
         k_drop, k_vq0, k_vq1, k_drop1 = jax.random.split(rng, 4)
         metrics: Dict[str, jax.Array] = {}
+
+        # VGG features of the real image are constant within the step: compute
+        # the tower once and share it between the stage-0 perceptual loss and
+        # the adaptive-weight tail (profile: LPIPS was ~17% of device time,
+        # mostly duplicated VGG(x) forwards).
+        fx_n = jax.lax.stop_gradient(lpips_model.apply(
+            {"params": state.lpips_params}, x, method=LPIPS.features))
+
+        def _lpips_dist(y):
+            return jnp.mean(lpips_model.apply(
+                {"params": state.lpips_params}, fx_n, y, method=LPIPS.dist))
 
         # ------------------------------------------------------------------
         # stage 0: generator update
@@ -101,7 +110,7 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
             x_recon = outs["x_recon"]
             loss_q = outs["loss_q"]
             loss_l1 = jnp.mean(jnp.abs(x - x_recon))
-            loss_perceptual = _lpips(state.lpips_params, x, x_recon)
+            loss_perceptual = _lpips_dist(x_recon)
             loss_recon = loss_l1 + pw * loss_perceptual
             loss_g = loss_recon + cw * loss_q
 
@@ -111,24 +120,30 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
             if disc_on:
                 loss_disc = hinge_g_loss(outs["logits_fake"])
 
-                # adaptive weight via one vjp over the final-conv tail
+                # adaptive weight via two single-branch grads over the
+                # final-conv tail. Split (not one two-output vjp pulled
+                # twice): each pull then backprops only its own branch —
+                # the zero-cotangent VGG/D backwards of a combined tail are
+                # not eliminated by XLA and showed up in the profile.
                 w = params_g["decoder"]["final_conv"]["kernel"]
                 b = params_g["decoder"]["final_conv"]["bias"]
                 h_pre = jax.lax.stop_gradient(outs["h_pre"]).astype(jnp.float32)
 
-                def tail(w_):
+                def tail_recon(w_):
                     xr = _conv_same_nhwc(h_pre, w_, b).astype(jnp.float32)
-                    lr_ = (jnp.mean(jnp.abs(x - xr))
-                           + pw * _lpips(state.lpips_params, x, xr))
+                    return jnp.mean(jnp.abs(x - xr)) + pw * _lpips_dist(xr)
+
+                def tail_disc(w_):
+                    xr = _conv_same_nhwc(h_pre, w_, b).astype(jnp.float32)
                     lf, _ = _apply_disc(
                         merge_params(jax.lax.stop_gradient(params_g),
                                      state.params_d),
                         state.batch_stats, xr, train=True)
-                    return lr_, hinge_g_loss(lf)
+                    return hinge_g_loss(lf)
 
-                _, tail_vjp = jax.vjp(tail, w.astype(jnp.float32))
-                (g_recon,) = tail_vjp((jnp.float32(1.0), jnp.float32(0.0)))
-                (g_disc,) = tail_vjp((jnp.float32(0.0), jnp.float32(1.0)))
+                w32 = w.astype(jnp.float32)
+                g_recon = jax.grad(tail_recon)(w32)
+                g_disc = jax.grad(tail_disc)(w32)
                 weight_d = jnp.linalg.norm(g_recon) / (jnp.linalg.norm(g_disc) + 1e-4)
                 weight_d = jax.lax.stop_gradient(jnp.clip(weight_d, 0.0, 1e4))
                 loss_g = loss_g + weight_d * dw * loss_disc

@@ -272,8 +272,13 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
         dict(cluster_size=state.cb_state.cluster_size),
         dict(cluster_size=cbN.cluster_size),
         atol=1.0, mean_tol=0.02, what="codebook ")
+    # The running stats are momentum blends of batch statistics of D's
+    # activations on x_recon — and x_recon itself is allowed to differ by
+    # 5e-3 above (O(lr)-amplified fp noise), so the running means inherit
+    # drift of the same order. 1e-2 still catches momentum/unbiased-variance
+    # bugs, which shift the stats by O(1) of their magnitude.
     if bsN:
-        _assert_tree_close(state.batch_stats, bsN, atol=5e-3,
+        _assert_tree_close(state.batch_stats, bsN, atol=1e-2,
                            what="batch_stats")
 
 
