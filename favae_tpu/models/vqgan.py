@@ -107,17 +107,27 @@ class VQGANFCM(nn.Module):
                for j, f in enumerate(dec_feats)]
         return enc, dec
 
-    def __call__(self, x, cb_state: CodebookState, *, train: bool = False,
+    def generate(self, x, cb_state: CodebookState, *, train: bool = False,
                  inference: bool = False, rng: Optional[jax.Array] = None):
-        """Stage-0-style forward used for init/eval: full reconstruction pass
-        (reference: models/vqgan_fcm.py:124-136, without the D(real) branch)."""
+        """Generator-only stage-0 body: encode -> quantize -> decode (+
+        pairwise tap blur), WITHOUT the discriminator. The train step calls
+        the discriminator separately so it can split the loss-head vjps at
+        x_recon (see favae_tpu.train.favae_step)."""
         z_q, loss_q, indices, enc_feats, new_state = self.encode(
             x, cb_state, train=train, inference=inference, rng=rng)
         x_recon, dec_feats, h_pre = self.decode(
             z_q, train=train, inference=inference)
-        logits_fake = self.discriminate(x_recon, train=train)
         if self.cfg.dsl_mode == DSL_PAIR and train and not inference:
             enc_feats, dec_feats = self.blur_taps_pairwise(enc_feats, dec_feats)
         return dict(x_recon=x_recon, loss_q=loss_q, indices=indices,
-                    logits_fake=logits_fake, enc_feats=enc_feats,
-                    dec_feats=dec_feats, h_pre=h_pre, cb_state=new_state)
+                    enc_feats=enc_feats, dec_feats=dec_feats, h_pre=h_pre,
+                    cb_state=new_state)
+
+    def __call__(self, x, cb_state: CodebookState, *, train: bool = False,
+                 inference: bool = False, rng: Optional[jax.Array] = None):
+        """Stage-0-style forward used for init/eval: full reconstruction pass
+        (reference: models/vqgan_fcm.py:124-136, without the D(real) branch)."""
+        outs = self.generate(x, cb_state, train=train, inference=inference,
+                             rng=rng)
+        outs["logits_fake"] = self.discriminate(outs["x_recon"], train=train)
+        return outs

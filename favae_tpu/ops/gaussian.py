@@ -42,12 +42,17 @@ def gaussian_blur_nhwc(x: jax.Array, kernel_size: int, sigma: jax.Array) -> jax.
         return x
     c = x.shape[-1]
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    # Blur in the input's own dtype (bf16 for production taps — halves the
+    # HBM traffic of the materialized reflect-pad copy and the two depthwise
+    # passes); the kernel taps and accumulation stay float32.
+    xf = x
     pad = kernel_size // 2
     xf = jnp.pad(xf, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
-    k1 = gaussian_kernel_1d(kernel_size, sigma).astype(jnp.float32)
+    k1 = gaussian_kernel_1d(kernel_size, sigma).astype(xf.dtype)
     # Horizontal pass: kernel (1, k, 1, C) in HWIO with feature_group_count=C.
+    # (No preferred_element_type: its transpose rule rejects the mixed-dtype
+    # cotangent, and the TPU accumulates the 9-tap dot in f32 internally.)
     kh = jnp.tile(k1.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
     kv = jnp.tile(k1.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(xf.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))

@@ -96,95 +96,143 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
                 {"params": state.lpips_params}, fx_n, y, method=LPIPS.dist))
 
         # ------------------------------------------------------------------
-        # stage 0: generator update
+        # stage 0: generator update, with the backward split at the generator
+        # outputs. jax.grad of a monolithic loss would work, but the adaptive
+        # weight needs ∂loss_recon/∂W_last and ∂loss_disc/∂W_last separately
+        # (reference: train_favae.py:32-39) BEFORE they are summed — a naive
+        # tail recomputes VGG/D forward+backward just for those norms. Instead:
+        #   1. one vjp over the generator body (encode→quantize→decode→taps),
+        #   2. per-head grads at x_recon / tap level (each head backward runs
+        #      exactly once: L1+LPIPS, hinge-G through D, FFL, DSL/SL),
+        #   3. weight_d from two tiny dW convs of those head deltas against
+        #      h_pre (chain rule through the final conv — identical math),
+        #   4. one body backward with the weight_d-combined cotangent.
+        # Nothing is evaluated twice; stage 0 runs exactly one D forward, like
+        # the reference.
         # ------------------------------------------------------------------
-        def stage0_loss(params_g):
+        def stage0_body(params_g):
             variables = {"params": merge_params(params_g, state.params_d)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            outs, mutated = model.apply(
+            outs = model.apply(
                 variables, x, state.cb_state, train=True, rng=k_vq0,
-                rngs={"dropout": k_drop}, mutable=["batch_stats"])
-            new_bs = mutated.get("batch_stats", state.batch_stats)
+                rngs={"dropout": k_drop}, method=VQGANFCM.generate,
+                mutable=False)
+            diff = (outs["x_recon"], outs["enc_feats"], outs["dec_feats"],
+                    outs["loss_q"])
+            return diff, (outs["cb_state"], outs["h_pre"])
 
-            x_recon = outs["x_recon"]
-            loss_q = outs["loss_q"]
-            loss_l1 = jnp.mean(jnp.abs(x - x_recon))
-            loss_perceptual = _lpips_dist(x_recon)
-            loss_recon = loss_l1 + pw * loss_perceptual
-            loss_g = loss_recon + cw * loss_q
+        diff_out, body_vjp, (cb_state1, h_pre) = jax.vjp(
+            stage0_body, state.params_g, has_aux=True)
+        x_recon0, enc_feats, dec_feats, loss_q = diff_out
 
-            aux = dict(loss_l1=loss_l1, loss_perceptual=loss_perceptual,
-                       loss_recon=loss_recon, loss_q=loss_q)
+        aux: Dict[str, jax.Array] = dict(loss_q=loss_q)
 
-            if disc_on:
-                loss_disc = hinge_g_loss(outs["logits_fake"])
+        # --- recon head: L1 + perceptual, grad at x_recon ---
+        def head_recon(xr):
+            loss_l1 = jnp.mean(jnp.abs(x - xr))
+            loss_perceptual = _lpips_dist(xr)
+            return loss_l1 + pw * loss_perceptual, (loss_l1, loss_perceptual)
 
-                # adaptive weight via two single-branch grads over the
-                # final-conv tail. Split (not one two-output vjp pulled
-                # twice): each pull then backprops only its own branch —
-                # the zero-cotangent VGG/D backwards of a combined tail are
-                # not eliminated by XLA and showed up in the profile.
-                w = params_g["decoder"]["final_conv"]["kernel"]
-                b = params_g["decoder"]["final_conv"]["bias"]
-                h_pre = jax.lax.stop_gradient(outs["h_pre"]).astype(jnp.float32)
+        (loss_recon, (loss_l1, loss_perceptual)), d_recon = \
+            jax.value_and_grad(head_recon, has_aux=True)(x_recon0)
+        aux.update(loss_l1=loss_l1, loss_perceptual=loss_perceptual,
+                   loss_recon=loss_recon)
+        loss_g = loss_recon + cw * loss_q
+        ct_xr = d_recon
+        ct_enc = [jnp.zeros_like(f) for f in enc_feats]
+        ct_dec = [jnp.zeros_like(f) for f in dec_feats]
 
-                def tail_recon(w_):
-                    xr = _conv_same_nhwc(h_pre, w_, b).astype(jnp.float32)
-                    return jnp.mean(jnp.abs(x - xr)) + pw * _lpips_dist(xr)
+        if disc_on:
+            # --- GAN head: hinge-G through D (train-mode BN, mutating the
+            # running stats exactly like the reference's stage-0 forward) ---
+            def head_disc(xr):
+                logits, bs1 = _apply_disc(
+                    merge_params(jax.lax.stop_gradient(state.params_g),
+                                 state.params_d),
+                    state.batch_stats, xr, train=True)
+                return hinge_g_loss(logits), bs1
 
-                def tail_disc(w_):
-                    xr = _conv_same_nhwc(h_pre, w_, b).astype(jnp.float32)
-                    lf, _ = _apply_disc(
-                        merge_params(jax.lax.stop_gradient(params_g),
-                                     state.params_d),
-                        state.batch_stats, xr, train=True)
-                    return hinge_g_loss(lf)
+            (loss_disc, batch_stats1), d_disc = jax.value_and_grad(
+                head_disc, has_aux=True)(x_recon0)
 
-                w32 = w.astype(jnp.float32)
-                g_recon = jax.grad(tail_recon)(w32)
-                g_disc = jax.grad(tail_disc)(w32)
-                weight_d = jnp.linalg.norm(g_recon) / (jnp.linalg.norm(g_disc) + 1e-4)
-                weight_d = jax.lax.stop_gradient(jnp.clip(weight_d, 0.0, 1e4))
-                loss_g = loss_g + weight_d * dw * loss_disc
-                aux.update(loss_disc=loss_disc, weight_d=weight_d)
-            else:
-                aux.update(loss_disc=jnp.float32(0.0), weight_d=jnp.float32(0.0))
+            # adaptive weight: ||∂loss_recon/∂W|| / ||∂loss_disc/∂W|| for the
+            # decoder's final conv kernel W, via the chain rule through that
+            # conv: ∂loss/∂W = dW-conv(h_pre, ∂loss/∂x_recon).
+            w = state.params_g["decoder"]["final_conv"]["kernel"]
+            b = state.params_g["decoder"]["final_conv"]["bias"]
+            h_pre32 = jax.lax.stop_gradient(h_pre).astype(jnp.float32)
+            _, conv_vjp = jax.vjp(
+                lambda w_: _conv_same_nhwc(h_pre32, w_, b.astype(jnp.float32)),
+                w.astype(jnp.float32))
+            (g_recon,) = conv_vjp(d_recon.astype(jnp.float32))
+            (g_disc,) = conv_vjp(d_disc.astype(jnp.float32))
+            weight_d = jnp.linalg.norm(g_recon) / (jnp.linalg.norm(g_disc) + 1e-4)
+            weight_d = jax.lax.stop_gradient(jnp.clip(weight_d, 0.0, 1e4))
+            loss_g = loss_g + weight_d * dw * loss_disc
+            ct_xr = ct_xr + weight_d * dw * d_disc
+            aux.update(loss_disc=loss_disc, weight_d=weight_d)
+        else:
+            # the reference's stage-0 forward runs D(x_recon) in train mode
+            # even before disc_start_epochs (train_favae.py:75, vqgan_fcm
+            # stage=0) — keep the BN running-stats update faithful
+            _, batch_stats1 = _apply_disc(
+                merge_params(state.params_g, state.params_d),
+                state.batch_stats, jax.lax.stop_gradient(x_recon0),
+                train=True)
+            aux.update(loss_disc=jnp.float32(0.0), weight_d=jnp.float32(0.0))
 
-            if ffl_on:
-                if use_ffl_img:
-                    loss_ffl = focal_frequency_loss(
-                        x_recon, x, loss_weight=loss_cfg.ffl_weight,
+        if ffl_on:
+            if use_ffl_img:
+                def head_ffl(xr):
+                    return focal_frequency_loss(
+                        xr, x, loss_weight=loss_cfg.ffl_weight,
                         alpha=loss_cfg.ffl_alpha)
-                    loss_g = loss_g + loss_ffl
-                    aux["loss_ffl"] = loss_ffl
-                if use_dsl:
+
+                loss_ffl, d_ffl = jax.value_and_grad(head_ffl)(x_recon0)
+                loss_g = loss_g + loss_ffl
+                ct_xr = ct_xr + d_ffl
+                aux["loss_ffl"] = loss_ffl
+            if use_dsl:
+                def head_dsl(enc_f, dec_f):
                     loss_dsl, per_tap = feature_tap_ffl(
-                        outs["enc_feats"], outs["dec_feats"],
-                        loss_weight=loss_cfg.dsl_weight, alpha=loss_cfg.ffl_alpha)
-                    loss_g = loss_g + loss_dsl
-                    aux["loss_dsl_features"] = loss_dsl
-                    for i, t in enumerate(per_tap):
-                        aux[f"loss_dsl_block{i + 1}"] = t
-                if use_sl:
-                    # fixed-sigma Spectrum Loss on the raw taps (reference:
-                    # losses/vqgan_losses.py:34-50)
+                        enc_f, dec_f, loss_weight=loss_cfg.dsl_weight,
+                        alpha=loss_cfg.ffl_alpha)
+                    return loss_dsl, per_tap
+
+                (loss_dsl, per_tap), d_taps = jax.value_and_grad(
+                    head_dsl, argnums=(0, 1), has_aux=True)(enc_feats,
+                                                            dec_feats)
+                loss_g = loss_g + loss_dsl
+                ct_enc = [a + g for a, g in zip(ct_enc, d_taps[0])]
+                ct_dec = [a + g for a, g in zip(ct_dec, d_taps[1])]
+                aux["loss_dsl_features"] = loss_dsl
+                for i, t in enumerate(per_tap):
+                    aux[f"loss_dsl_block{i + 1}"] = t
+            if use_sl:
+                # fixed-sigma Spectrum Loss on the raw taps (reference:
+                # losses/vqgan_losses.py:34-50)
+                def head_sl(enc_f, dec_f):
                     sig = jnp.float32(loss_cfg.gaussian_sigma)
-                    enc_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel, sig)
-                             for f in outs["enc_feats"]]
-                    dec_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel, sig)
-                             for f in outs["dec_feats"]]
+                    enc_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel,
+                                                sig) for f in enc_f]
+                    dec_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel,
+                                                sig) for f in dec_f]
                     loss_sl, _ = feature_tap_ffl(
                         enc_b, dec_b, loss_weight=loss_cfg.sl_weight,
                         alpha=loss_cfg.ffl_alpha)
-                    loss_g = loss_g + loss_sl
-                    aux["loss_sl_gauss_features"] = loss_sl
+                    return loss_sl
 
-            aux["loss_g"] = loss_g
-            return loss_g, (aux, outs["cb_state"], new_bs, x_recon)
+                loss_sl, d_taps = jax.value_and_grad(
+                    head_sl, argnums=(0, 1))(enc_feats, dec_feats)
+                loss_g = loss_g + loss_sl
+                ct_enc = [a + g for a, g in zip(ct_enc, d_taps[0])]
+                ct_dec = [a + g for a, g in zip(ct_dec, d_taps[1])]
+                aux["loss_sl_gauss_features"] = loss_sl
 
-        grads, (aux, cb_state1, batch_stats1, x_recon0) = jax.grad(
-            stage0_loss, has_aux=True)(state.params_g)
+        aux["loss_g"] = loss_g
+        (grads,) = body_vjp((ct_xr.astype(x_recon0.dtype), ct_enc, ct_dec,
+                             jnp.float32(cw)))
         updates, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates)
         metrics.update(aux)

@@ -268,10 +268,16 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
     _assert_tree_close(
         dict(embed=state.cb_state.embed), dict(embed=cbN.embed),
         atol=5e-2, mean_tol=5e-4, what="codebook ")
+    # mean_tol: each argmax tie-flip moves (1-decay)=0.2 of a count between
+    # two bins per EMA update; with K=64 test codes a handful of flipped
+    # tokens lands around 0.02-0.03 mean. A systematic assignment/decay bug
+    # shifts most bins by O(1). (0.02 -> 0.03 after the stage-0 vjp-split
+    # restructure changed fp summation order; lr=0 forward parity is the
+    # tight pin.)
     _assert_tree_close(
         dict(cluster_size=state.cb_state.cluster_size),
         dict(cluster_size=cbN.cluster_size),
-        atol=1.0, mean_tol=0.02, what="codebook ")
+        atol=1.0, mean_tol=0.03, what="codebook ")
     # The running stats are momentum blends of batch statistics of D's
     # activations on x_recon — and x_recon itself is allowed to differ by
     # 5e-3 above (O(lr)-amplified fp noise), so the running means inherit
