@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--top_p", type=float, default=0.95)
     p.add_argument("--cond_scale", type=float, default=3.0)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--quantized", action="store_true",
+                   help="serve the token loop with int8 feed-forward weights "
+                        "(faster, slightly lossy; models/decode_engine.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="samples.npz")
     p.add_argument("--codebook_size", type=int, default=1024)
@@ -88,7 +91,7 @@ def main(argv=None):
     imgs, grids = cat.sample_images(
         gpt_params, text_ids, rng=jax.random.PRNGKey(args.seed + 1),
         top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
-        cond_scale=args.cond_scale)
+        cond_scale=args.cond_scale, quantized=args.quantized)
     imgs = np.clip(np.asarray(imgs) * 0.5 + 0.5, 0, 1)
     np.savez(args.out, images=imgs, tokens=np.asarray(grids),
              prompts=np.asarray(prompts, dtype=object))

@@ -102,23 +102,39 @@ class CATModel:
     def sample_images(self, gpt_params, text_ids, *, rng,
                       top_k: Optional[int] = None, top_p: float = 1.0,
                       temperature: float = 1.0,
-                      cond_scale: Optional[float] = None):
+                      cond_scale: Optional[float] = None,
+                      quantized: bool = False):
         """Text -> image (reference: txt_cond_transformer.py:171-185).
 
         The whole pipeline (CLIP encode -> CFG KV-cache sampling -> FA-VAE
         decode) runs as ONE jitted function with every parameter tree passed
         as an argument (eager dispatch through the compile relay is orders of
-        magnitude slower, and closed-over params overwhelm it)."""
+        magnitude slower, and closed-over params overwhelm it).
+
+        `quantized=True` routes the GPT token loop through the weight-only
+        int8 serving engine (models/decode_engine.py) — ~2x the decode
+        weight-streaming bandwidth, slightly lossy (no reference analogue)."""
         cs = self.cfg.cond_scale if cond_scale is None else cond_scale
-        key = (top_k, top_p, temperature, cs)
+        key = (top_k, top_p, temperature, cs, quantized)
         if key not in self._sample_cache:
             def fn(gpt_params, frozen, text_ids, rng):
                 embeds, mask = self.encode_text_ids(
                     text_ids, frozen.get("clip_params"))
-                grid = self.gpt.apply(
-                    {"params": gpt_params}, embeds, mask, rng=rng,
-                    temperature=temperature, top_k=top_k, top_p=top_p,
-                    cond_scale=cs, method=GPT.sample)
+                if quantized:
+                    from favae_tpu.models.decode_engine import (
+                        quantize_decode_params, sample_tokens)
+                    # loop-invariant: XLA hoists the quantization out of the
+                    # token scan, so it runs once per call
+                    qp = quantize_decode_params(gpt_params)
+                    grid = sample_tokens(
+                        self.cfg.gpt, gpt_params, embeds, mask, rng=rng,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        cond_scale=cs, qparams=qp)
+                else:
+                    grid = self.gpt.apply(
+                        {"params": gpt_params}, embeds, mask, rng=rng,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        cond_scale=cs, method=GPT.sample)
                 z = self.favae.apply(
                     frozen["favae_variables"], grid, frozen["cb_state"],
                     method=VQGANFCM.decode_code)
