@@ -36,7 +36,8 @@ def _dft_mats(n: int, norm: str):
 
 def dft2_real_nhwc(x, norm: str = "ortho", compute_dtype=None):
     """2-D DFT over (H, W) of a real NHWC tensor. Returns (real, imag), each
-    NHWC float32. Matches jnp.fft.fft2(x, axes=(1, 2), norm=norm).
+    NHWC in `compute_dtype` (float32 default). Matches
+    jnp.fft.fft2(x, axes=(1, 2), norm=norm) up to that dtype.
 
     `compute_dtype` sets the matmul input dtype (accumulation stays float32
     via preferred_element_type). bfloat16 halves the HBM traffic of the
@@ -49,22 +50,23 @@ def dft2_real_nhwc(x, norm: str = "ortho", compute_dtype=None):
     ch, sh = _dft_mats(h, norm)
     cw, sw = _dft_mats(w, norm)
     # transform along H with the stacked [C; S] matrix — one bigger matmul
-    # tiles the MXU better than two: Y[k, w] = sum_m D_H[k, m] x[m, w]
+    # tiles the MXU better than two: Y[k, w] = sum_m D_H[k, m] x[m, w].
+    # Accumulate f32 inside the dot but MATERIALIZE in cdt: at 256px a
+    # 128-channel tap's intermediate is 537 MB in f32 — the casts fuse into
+    # the dot outputs so the f32 copies never reach HBM.
     dh = jnp.asarray(np.concatenate([ch, sh], axis=0), cdt)
     y = jnp.einsum("km,nmwc->nkwc", dh, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(cdt)
     y_re, y_im = y[:, :h], y[:, h:]
-    y_re = y_re.astype(cdt)
-    y_im = y_im.astype(cdt)
     # transform along W: F[k, l] = sum_n Y[k, n] D_W[l, n]  (D symmetric)
     cwj = jnp.asarray(cw, cdt)
     swj = jnp.asarray(sw, cdt)
     f_re = (jnp.einsum("nkmc,lm->nklc", y_re, cwj,
                        preferred_element_type=jnp.float32)
             - jnp.einsum("nkmc,lm->nklc", y_im, swj,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32)).astype(cdt)
     f_im = (jnp.einsum("nkmc,lm->nklc", y_re, swj,
                        preferred_element_type=jnp.float32)
             + jnp.einsum("nkmc,lm->nklc", y_im, cwj,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32)).astype(cdt)
     return f_re, f_im

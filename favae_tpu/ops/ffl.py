@@ -54,26 +54,34 @@ def focal_frequency_loss(
                          else jnp.float32)
 
     # DFT is linear: F_pred - F_true = DFT(pred - target). One transform.
+    # The spectra come back in compute_dtype (bf16 on TPU); the distance and
+    # weight math promotes to f32.
     diff_re, diff_im = dft2_real_nhwc(pred - target, norm="ortho",
                                       compute_dtype=compute_dtype)
+    diff_re = diff_re.astype(jnp.float32)
+    diff_im = diff_im.astype(jnp.float32)
     dist = diff_re * diff_re + diff_im * diff_im  # (N, H, W, C)
 
     if matrix is not None:
         w = jax.lax.stop_gradient(matrix)
+    elif log_matrix:
+        w = jnp.log(jnp.power(jnp.sqrt(dist), alpha) + 1.0)
+        denom = (jnp.max(w) if batch_matrix
+                 else jnp.max(w, axis=(1, 2), keepdims=True))
+        w = jnp.nan_to_num(w / denom, nan=0.0)
+        w = jax.lax.stop_gradient(jnp.clip(w, 0.0, 1.0))
     else:
-        w = jnp.sqrt(dist)
-        if alpha != 1.0:
-            w = jnp.power(w, alpha)
-        if log_matrix:
-            w = jnp.log(w + 1.0)
-        if batch_matrix:
-            denom = jnp.max(w)
-        else:
-            denom = jnp.max(w, axis=(1, 2), keepdims=True)  # per (batch, channel)
-        w = w / denom
+        # |dF|^alpha / max(|dF|^alpha) == (dist / max(dist))^(alpha/2):
+        # x^(a/2) is monotone, so normalizing AFTER the max avoids
+        # materializing the sqrt/power array just to reduce it — dist is
+        # cheap enough that XLA recomputes it in each consumer instead of
+        # storing the (N, H, W, C) f32 intermediates.
+        denom = (jnp.max(dist) if batch_matrix
+                 else jnp.max(dist, axis=(1, 2), keepdims=True))
+        ratio = dist / denom
+        w = jnp.sqrt(ratio) if alpha == 1.0 else jnp.power(ratio, alpha * 0.5)
         w = jnp.nan_to_num(w, nan=0.0)
-        w = jnp.clip(w, 0.0, 1.0)
-        w = jax.lax.stop_gradient(w)
+        w = jax.lax.stop_gradient(jnp.clip(w, 0.0, 1.0))
 
     return jnp.mean(w * dist) * loss_weight
 

@@ -159,14 +159,19 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
             # adaptive weight: ||∂loss_recon/∂W|| / ||∂loss_disc/∂W|| for the
             # decoder's final conv kernel W, via the chain rule through that
             # conv: ∂loss/∂W = dW-conv(h_pre, ∂loss/∂x_recon).
+            # h_pre stays bf16: the dW conv accumulates f32 anyway, and an
+            # f32 copy of the (N, 256, 256, C) tensor is ~0.5 GB of traffic
             w = state.params_g["decoder"]["final_conv"]["kernel"]
             b = state.params_g["decoder"]["final_conv"]["bias"]
-            h_pre32 = jax.lax.stop_gradient(h_pre).astype(jnp.float32)
+            h_pre_sg = jax.lax.stop_gradient(h_pre)
             _, conv_vjp = jax.vjp(
-                lambda w_: _conv_same_nhwc(h_pre32, w_, b.astype(jnp.float32)),
-                w.astype(jnp.float32))
-            (g_recon,) = conv_vjp(d_recon.astype(jnp.float32))
-            (g_disc,) = conv_vjp(d_disc.astype(jnp.float32))
+                lambda w_: _conv_same_nhwc(h_pre_sg, w_,
+                                           b.astype(h_pre_sg.dtype)),
+                w.astype(h_pre_sg.dtype))
+            (g_recon,) = conv_vjp(d_recon.astype(h_pre_sg.dtype))
+            (g_disc,) = conv_vjp(d_disc.astype(h_pre_sg.dtype))
+            g_recon = g_recon.astype(jnp.float32)
+            g_disc = g_disc.astype(jnp.float32)
             weight_d = jnp.linalg.norm(g_recon) / (jnp.linalg.norm(g_disc) + 1e-4)
             weight_d = jax.lax.stop_gradient(jnp.clip(weight_d, 0.0, 1e4))
             loss_g = loss_g + weight_d * dw * loss_disc
