@@ -89,9 +89,13 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
                   rng, temperature: float = 1.0, top_k: Optional[int] = None,
                   top_p: float = 1.0, cond_scale: float = 3.0,
                   qparams: Optional[dict] = None,
+                  fused: Optional[dict] = None,
                   dtype: Any = jnp.bfloat16) -> jax.Array:
     """CFG sampling loop equivalent to GPT.sample (models/gpt.py:376-429),
-    layer loop unrolled over the stacked params. Returns (b, grid, grid)."""
+    layer loop unrolled over the stacked params. Returns (b, grid, grid).
+
+    `fused` (from ops.decode_step_kernel.prepare_fused_decode) routes every
+    token's full layer stack through ONE Pallas launch with int8 weights."""
     c = cfg
     p = gpt_params
     blocks = p["blocks"]
@@ -127,13 +131,40 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
     caches = jnp.zeros((c.n_layer, 2 * b, seq_len, dh), dtype)
     scale = dh ** -0.5
 
-    def step_logits(tok_prev, pos, caches):
+    def _embed_step(tok_prev, pos):
         emb_tok = p["tok_emb"]["embedding"][tok_prev] + axial[
             jnp.maximum(pos - 1, 0)]
         start = jnp.broadcast_to(p["start_token"][None, :],
                                  (2 * b, c.n_embed))
         x = jnp.where(pos == 0, start, emb_tok.astype(start.dtype))
-        x = _ln(x, p["init_norm"]["ln"]["scale"]).astype(dtype)
+        return _ln(x, p["init_norm"]["ln"]["scale"]).astype(dtype)
+
+    def _head(x):
+        x = _ln(x, p["final_norm"]["ln"]["scale"])
+        emb = p["tok_emb"]["embedding"]  # weight tying
+        return jnp.dot(x.astype(jnp.float32), emb.astype(jnp.float32).T)
+
+    if fused is not None:
+        from favae_tpu.ops.decode_step_kernel import decode_step_fused
+        interpret = jax.default_backend() != "tpu"
+        cross_kv_st = jnp.stack(cross_kv)                 # (L, 2b, m+1, dh)
+        cross_bias_rm = cross_bias[:, 0, :]               # (2b, m+1)
+        rel_table = blocks["self_attn"]["rel_pos_bias"]["pos_bias"][
+            "embedding"]                                  # (L, S^2, heads)
+
+        def step_logits_fused(tok_prev, pos, caches):
+            x = _embed_step(tok_prev, pos)
+            sel = jax.lax.dynamic_slice(rel_idx, (pos, 0), (1, seq_len))[0]
+            rel = rel_table[:, sel, :]                    # (L, S, heads)
+            rel_rows = jnp.pad(jnp.transpose(rel, (0, 2, 1)),
+                               ((0, 0), (0, 0), (1, 0))).astype(jnp.float32)
+            x, caches = decode_step_fused(
+                x, pos, caches, cross_kv_st, cross_bias_rm, rel_rows, fused,
+                c, interpret=interpret)
+            return _head(x), caches
+
+    def step_logits(tok_prev, pos, caches):
+        x = _embed_step(tok_prev, pos)
 
         # self-attention mask bias (cols <= pos; col 0 = null kv, visible)
         cols = jnp.arange(seq_len)
@@ -186,14 +217,13 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
                 h = mm(l, "ff", "fc2", h)
                 x = h.astype(x.dtype) + x
 
-        x = _ln(x, p["final_norm"]["ln"]["scale"])
-        emb = p["tok_emb"]["embedding"]  # weight tying
-        logits = jnp.dot(x.astype(jnp.float32), emb.astype(jnp.float32).T)
-        return logits, jnp.stack(new_caches)
+        return _head(x), jnp.stack(new_caches)
+
+    step_fn = step_logits_fused if fused is not None else step_logits
 
     def body(carry, pos):
         tok_prev, caches, key = carry
-        logits2, caches = step_logits(tok_prev, pos, caches)
+        logits2, caches = step_fn(tok_prev, pos, caches)
         cond, null = logits2[:b], logits2[b:]
         logits = (cond if cond_scale == 1
                   else null + (cond - null) * cond_scale)

@@ -123,13 +123,20 @@ class CATModel:
                 if quantized:
                     from favae_tpu.models.decode_engine import (
                         quantize_decode_params, sample_tokens)
+                    from favae_tpu.ops.decode_step_kernel import (
+                        prepare_fused_decode, supports)
                     # loop-invariant: XLA hoists the quantization out of the
                     # token scan, so it runs once per call
-                    qp = quantize_decode_params(gpt_params)
+                    kw = {}
+                    if supports(self.cfg.gpt, 2 * text_ids.shape[0]):
+                        kw["fused"] = prepare_fused_decode(gpt_params,
+                                                           self.cfg.gpt)
+                    else:
+                        kw["qparams"] = quantize_decode_params(gpt_params)
                     grid = sample_tokens(
                         self.cfg.gpt, gpt_params, embeds, mask, rng=rng,
                         temperature=temperature, top_k=top_k, top_p=top_p,
-                        cond_scale=cs, qparams=qp)
+                        cond_scale=cs, **kw)
                 else:
                     grid = self.gpt.apply(
                         {"params": gpt_params}, embeds, mask, rng=rng,
