@@ -25,7 +25,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from favae_tpu.config import GPTConfig
 from favae_tpu.models.gpt import (

@@ -36,11 +36,9 @@ Serving-only (int8 is lossy); the reference sampler has no such mode.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -18,7 +18,6 @@ this is a TPU-serving addition, not a parity surface.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
