@@ -54,19 +54,20 @@ def dft2_real_nhwc(x, norm: str = "ortho", compute_dtype=None):
     # Accumulate f32 inside the dot but MATERIALIZE in cdt: at 256px a
     # 128-channel tap's intermediate is 537 MB in f32 — the casts fuse into
     # the dot outputs so the f32 copies never reach HBM.
-    dh = jnp.asarray(np.concatenate([ch, sh], axis=0), cdt)
-    y = jnp.einsum("km,nmwc->nkwc", dh, x,
+    # Both stages run as ONE stacked matmul each (two einsums total; the
+    # previous formulation read the stage-1 intermediate four times):
+    #   stage W:  Z = X D_W^T with [C; S] stacked on the OUTPUT axis
+    #             -> z[:, :, :w] = X C^T (z_re), z[:, :, w:] = X S^T (z_im)
+    #   stage H:  T = D_H Z with [C; S] stacked on the output axis
+    #             -> T blocks = {C,S} x {z_re,z_im}; the complex combine
+    #                F_re = C z_re - S z_im, F_im = S z_re + C z_im is a
+    #                pair of slice-adds that fuse into the consumers.
+    dws = jnp.asarray(np.concatenate([cw, sw], axis=0), cdt)   # (2w, w)
+    z = jnp.einsum("lm,nhmc->nhlc", dws, x,
                    preferred_element_type=jnp.float32).astype(cdt)
-    y_re, y_im = y[:, :h], y[:, h:]
-    # transform along W: F[k, l] = sum_n Y[k, n] D_W[l, n]  (D symmetric)
-    cwj = jnp.asarray(cw, cdt)
-    swj = jnp.asarray(sw, cdt)
-    f_re = (jnp.einsum("nkmc,lm->nklc", y_re, cwj,
-                       preferred_element_type=jnp.float32)
-            - jnp.einsum("nkmc,lm->nklc", y_im, swj,
-                         preferred_element_type=jnp.float32)).astype(cdt)
-    f_im = (jnp.einsum("nkmc,lm->nklc", y_re, swj,
-                       preferred_element_type=jnp.float32)
-            + jnp.einsum("nkmc,lm->nklc", y_im, cwj,
-                         preferred_element_type=jnp.float32)).astype(cdt)
+    dhs = jnp.asarray(np.concatenate([ch, sh], axis=0), cdt)   # (2h, h)
+    t = jnp.einsum("km,nmlc->nklc", dhs, z,
+                   preferred_element_type=jnp.float32).astype(cdt)
+    f_re = t[:, :h, :w] - t[:, h:, w:]
+    f_im = t[:, h:, :w] + t[:, :h, w:]
     return f_re, f_im
