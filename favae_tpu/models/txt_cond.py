@@ -125,18 +125,31 @@ class CATModel:
                         quantize_decode_params, sample_tokens)
                     from favae_tpu.ops.decode_step_kernel import (
                         prepare_fused_decode, supports)
-                    # loop-invariant: XLA hoists the quantization out of the
-                    # token scan, so it runs once per call
+                    b = text_ids.shape[0]
+                    # the fused kernel needs 2b % 8 == 0; pad small batches
+                    # with dummy prompts (the kernel is weight-streaming
+                    # bound, so the wasted rows are ~free latency-wise)
+                    b_pad = max(4, -(-b // 4) * 4)
                     kw = {}
-                    if supports(self.cfg.gpt, 2 * text_ids.shape[0]):
+                    if supports(self.cfg.gpt, 2 * b_pad):
+                        if b_pad != b:
+                            embeds = jnp.concatenate(
+                                [embeds, jnp.broadcast_to(
+                                    embeds[:1], (b_pad - b,) +
+                                    embeds.shape[1:])], 0)
+                            mask = jnp.concatenate(
+                                [mask, jnp.broadcast_to(
+                                    mask[:1], (b_pad - b,) + mask.shape[1:])],
+                                0)
                         kw["fused"] = prepare_fused_decode(gpt_params,
                                                            self.cfg.gpt)
                     else:
+                        b_pad = b
                         kw["qparams"] = quantize_decode_params(gpt_params)
                     grid = sample_tokens(
                         self.cfg.gpt, gpt_params, embeds, mask, rng=rng,
                         temperature=temperature, top_k=top_k, top_p=top_p,
-                        cond_scale=cs, **kw)
+                        cond_scale=cs, **kw)[:b]
                 else:
                     grid = self.gpt.apply(
                         {"params": gpt_params}, embeds, mask, rng=rng,

@@ -69,3 +69,31 @@ def test_prepared_weights_dequantize(gate_gpt):
     back = (fused["attn_t"][0, 0].astype(np.float32)
             * fused["attn_s"][0, 0])
     np.testing.assert_allclose(np.asarray(back), np.asarray(w), atol=2e-2)
+
+
+def test_sample_images_quantized_pads_small_batches():
+    """B=1 (2 CFG rows) is below the kernel's row-group size; sample_images
+    pads the prompt batch to reach it and slices the outputs back."""
+    from favae_tpu import config as C
+    from favae_tpu.models.txt_cond import build_cat
+
+    vq = C.VQGANConfig(
+        codec=C.codec_for_downsample_factor(4, z_channels=8, base_channels=32,
+                                            resolution=32),
+        quantizer=C.QuantizerConfig(codebook_size=64, dim=8,
+                                    use_cosine_sim=True),
+        discriminator=C.DiscriminatorConfig(base_channels=32),
+        fcm_kind="none", dsl_mode="none", compute_dtype="float32")
+    gpt = C.GPTConfig(vocab_size=64, n_layer=2, n_embed=128, n_head=2,
+                      dim_head=64, n_cond_embed=64, image_encoded_dim=8,
+                      max_text_len=7, dropout=0.0)
+    clip = C.CLIPTextConfig(context_length=7, vocab_size=100, width=64,
+                            heads=2, layers=2, embed_dim=64)
+    cfg = C.CATConfig(vqgan=vq, clip=clip, gpt=gpt)
+    model, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 90, (1, 7)),
+                      jnp.int32)
+    imgs, grid = model.sample_images(gpt_params, ids,
+                                     rng=jax.random.PRNGKey(1),
+                                     quantized=True)
+    assert imgs.shape[0] == 1 and grid.shape == (1, 8, 8)
