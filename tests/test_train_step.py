@@ -149,3 +149,23 @@ def test_train_step_patch_discriminator():
     bs1 = jax.tree_util.tree_leaves(new_state.batch_stats)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(bs0, bs1))
+
+
+def test_eval_step_sharded_metrics_are_global():
+    """Validation metrics from a dp-sharded batch must equal the
+    single-device global-batch values (multi-host runs must not silently
+    report one shard's numbers — reference gathers across ranks,
+    train_favae.py:210-219)."""
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    state, model, lpips, _ = build(model_cfg, loss_cfg, disc_on=False,
+                                   ffl_on=False)
+    ev = jax.jit(make_eval_step(model, lpips, loss_cfg))
+    x_np = (np.random.RandomState(4).rand(8, 32, 32, 3).astype(np.float32)
+            * 2 - 1)
+
+    mesh = make_mesh(8)
+    out_sh = ev(replicate_tree(state, mesh),
+                shard_batch(jnp.asarray(x_np), mesh))
+    out_1 = ev(state, jnp.asarray(x_np))
+    for k in ("loss_l1", "loss_perceptual", "loss_recon"):
+        assert abs(float(out_sh[k]) - float(out_1[k])) < 1e-4, k
