@@ -34,8 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perceptual_weight", type=float, default=1.0)
     p.add_argument("--disc_weight", type=float, default=0.75)
     p.add_argument("--codebook_weight", type=float, default=1.0)
-    p.add_argument("--disc_start_epochs", type=int, default=1)
-    p.add_argument("--ffl_start_epochs", type=int, default=0)
+    # None = "not passed": presets keep their own schedule unless overridden
+    p.add_argument("--disc_start_epochs", type=int, default=None)
+    p.add_argument("--ffl_start_epochs", type=int, default=None)
     p.add_argument("--codebook_size", type=int, default=1024)
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--codebook_dim", type=int, default=None)
@@ -108,6 +109,17 @@ def config_from_args(args):
             "imagenet_f4": C.imagenet_f4_losses,
         }[args.preset]
         loss_cfg = loss_fn()
+        # the epoch gates are a training schedule, not part of the published
+        # loss recipe: explicit flags override the preset (the reference CLI
+        # always honors them, train_favae.py:82-103)
+        import dataclasses
+        overrides = {}
+        if args.disc_start_epochs is not None:
+            overrides["disc_start_epochs"] = args.disc_start_epochs
+        if args.ffl_start_epochs is not None:
+            overrides["ffl_start_epochs"] = args.ffl_start_epochs
+        if overrides:
+            loss_cfg = dataclasses.replace(loss_cfg, **overrides)
     else:
         # flag-based dispatch (reference: models/vqgan_fcm.py:58-96)
         if args.use_non_pair_conv:
@@ -153,8 +165,10 @@ def config_from_args(args):
             gaussian_kernel=args.gaussian_kernel,
             gaussian_sigma=args.gaussian_sigma,
             dsl_init_sigma=args.dsl_init_sigma,
-            disc_start_epochs=args.disc_start_epochs,
-            ffl_start_epochs=args.ffl_start_epochs)
+            disc_start_epochs=(1 if args.disc_start_epochs is None
+                               else args.disc_start_epochs),
+            ffl_start_epochs=(0 if args.ffl_start_epochs is None
+                              else args.ffl_start_epochs))
 
     train_cfg = C.TrainConfig(
         batch_size=args.batch_size, base_lr=args.base_lr, epochs=args.epochs,

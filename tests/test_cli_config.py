@@ -99,3 +99,18 @@ def test_ffhq_manifest_builder(tmp_path):
     m = build_ffhq_manifest(str(tmp_path), str(tmp_path / "ffhq.json"),
                             "training")
     assert len(m) == 1 and m[0].endswith("00000.png")
+
+
+def test_preset_gate_flags_override():
+    """Epoch-gate flags must override a preset's schedule (the reference CLI
+    always honors them, train_favae.py:82-103); unset flags keep the
+    preset's values."""
+    _, loss_default, _ = config_from_args(
+        parse(["--preset", "celebahq_expe5"]))
+    _, loss_over, _ = config_from_args(
+        parse(["--preset", "celebahq_expe5", "--disc_start_epochs", "7",
+               "--ffl_start_epochs", "3"]))
+    assert loss_over.disc_start_epochs == 7
+    assert loss_over.ffl_start_epochs == 3
+    assert loss_default.disc_start_epochs == 1  # preset value preserved
+    assert loss_default.ffl_start_epochs == 0
