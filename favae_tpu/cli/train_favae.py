@@ -43,10 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--epochs", type=int, default=800)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--loader_uint8", action="store_true",
+                   help="ship resized uint8 batches and normalize on device "
+                        "(4x less host->device traffic; identical math)")
+    p.add_argument("--loader_processes", action="store_true",
+                   help="decode JPEGs in worker processes instead of threads "
+                        "(avoids GIL contention with dispatch on few-core "
+                        "hosts)")
     p.add_argument("--print_steps", type=int, default=10)
     p.add_argument("--img_steps", type=int, default=100)
     p.add_argument("--base_lr", type=float, default=2.0e-6)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume_path", type=str, default=None,
+                   help="explicit checkpoint to resume/warm-start from: an "
+                        "Orbax dir (full state) or a reference-format torch "
+                        ".pt (weights only). Default: save_dir/latest "
+                        "(reference: train_favae.py:334-341)")
     p.add_argument("--train_file", type=str, default=None)
     p.add_argument("--test_file", type=str, default=None)
     p.add_argument("--double_z", action="store_true")
@@ -168,7 +180,9 @@ def config_from_args(args):
             disc_start_epochs=(1 if args.disc_start_epochs is None
                                else args.disc_start_epochs),
             ffl_start_epochs=(0 if args.ffl_start_epochs is None
-                              else args.ffl_start_epochs))
+                              else args.ffl_start_epochs),
+            # spectra follow the codec compute dtype (bf16 by default on TPU)
+            spectral_dtype=args.compute_dtype)
 
     train_cfg = C.TrainConfig(
         batch_size=args.batch_size, base_lr=args.base_lr, epochs=args.epochs,
@@ -209,16 +223,21 @@ def main(argv=None):
         train_ds = SyntheticDataset(resolution=res, size=64 * global_batch)
         val_ds = SyntheticDataset(resolution=res, size=4 * global_batch, seed=7)
     else:
-        train_ds = PklImageDataset(args.train_file, resolution=res)
-        val_ds = (PklImageDataset(args.test_file, resolution=res)
+        dtype = "uint8" if args.loader_uint8 else "float32"
+        train_ds = PklImageDataset(args.train_file, resolution=res,
+                                   output_dtype=dtype)
+        val_ds = (PklImageDataset(args.test_file, resolution=res,
+                                  output_dtype=dtype)
                   if args.test_file else None)
 
     train_dl = DataLoader(train_ds, batch_size=host_batch,
                           num_workers=args.num_workers,
+                          use_processes=args.loader_processes,
                           shard_index=jax.process_index(),
                           shard_count=jax.process_count())
     val_dl = (DataLoader(val_ds, batch_size=host_batch, shuffle=False,
                          num_workers=args.num_workers,
+                         use_processes=args.loader_processes,
                          shard_index=jax.process_index(),
                          shard_count=jax.process_count())
               if val_ds else None)
@@ -231,8 +250,8 @@ def main(argv=None):
     trainer = FavaeTrainer(model_cfg, loss_cfg, train_cfg, save_path,
                            lpips_params=lpips_params,
                            log_dir=os.path.join(save_path, "runs"))
-    if args.resume:
-        trainer.resume()
+    if args.resume or args.resume_path:
+        trainer.resume(args.resume_path)
     print0(f"devices={jax.device_count()} lr={trainer.lr:.3e} "
            f"global_batch={global_batch}")
     trainer.fit(train_dl, val_dl)

@@ -12,6 +12,7 @@ reference: favae_scripts/train_favae.py:234-388. Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, Optional
 
@@ -23,7 +24,16 @@ from favae_tpu.config import LossConfig, TrainConfig, VQGANConfig
 from favae_tpu.models.lpips import LPIPS
 from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from favae_tpu.train.favae_state import FavaeTrainState
-from favae_tpu.train.favae_step import make_eval_step, make_train_step
+from favae_tpu.train.favae_step import (make_eval_step, make_train_step,
+                                        to_unit_range)
+
+
+def _host_f32(x: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] or f32 [-1,1] host batch -> f32 [-1,1] (for logging)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 127.5 - 1.0
+    return x
 from favae_tpu.utils.checkpoint import CheckpointManager
 from favae_tpu.utils.logging import MetricWriter, device_memory_mib, print0
 
@@ -68,13 +78,46 @@ class FavaeTrainer:
         self.rng = jax.random.PRNGKey(train_cfg.seed + 1)
 
     # ------------------------------------------------------------------
-    def resume(self):
-        state, meta = self.ckpt.try_resume(self.state)
-        if state is not None:
-            self.state = state
-            self.start_epoch = int(meta.get("epoch", 0))
-            print0(f"resumed from epoch {self.start_epoch}, "
-                   f"best {self.ckpt.best_score:.4f}")
+    def resume(self, path: Optional[str] = None):
+        """Resume / warm-start (reference: train_favae.py:334-341, which
+        torch.loads an arbitrary ``--resume_path``).
+
+        * ``path=None``: restore ``save_dir/latest`` (with crash-window
+          fallbacks) — full functional state incl. both Adam chains.
+        * ``path`` = Orbax checkpoint dir: same full restore from there,
+          epoch/best taken from its host metadata.
+        * ``path`` = reference-format torch ``.pt`` file: weights-only warm
+          start (params, BN stats, codebook EMA) with fresh optimizers and
+          epoch 0 — torch Adam moments don't map onto the optax chains.
+        """
+        if path is None:
+            state, meta = self.ckpt.try_resume(self.state)
+            if state is not None:
+                self.state = state
+                self.start_epoch = int(meta.get("epoch", 0))
+                print0(f"resumed from epoch {self.start_epoch}, "
+                       f"best {self.ckpt.best_score:.4f}")
+            return
+        if os.path.isfile(path):  # torch checkpoint
+            from favae_tpu.train.favae_state import split_params
+            from favae_tpu.utils.torch_convert import convert_favae
+            params, batch_stats, cb_state = convert_favae(path, self.model_cfg)
+            params_g, params_d = split_params(params)
+            new = self.state.replace(
+                params_g=params_g, params_d=params_d,
+                batch_stats=batch_stats if batch_stats else self.state.batch_stats,
+                cb_state=cb_state)
+            self.state = (replicate_tree(new, self.mesh)
+                          if self.mesh is not None else new)
+            print0(f"warm-started model weights from torch checkpoint {path}")
+            return
+        from favae_tpu.utils.checkpoint import restore_checkpoint
+        state, meta = restore_checkpoint(path, self.state)
+        self.state = state
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.ckpt.best_score = meta.get("best_score", float("inf"))
+        print0(f"resumed from {path} at epoch {self.start_epoch}, "
+               f"best {self.ckpt.best_score:.4f}")
 
     def _place(self, x: np.ndarray):
         if self.mesh is not None:
@@ -113,7 +156,7 @@ class FavaeTrainer:
         if qcfg.kmeans_init:
             @jax.jit
             def _init_codebook(variables, x, key):
-                flat = self.model.apply(variables, x,
+                flat = self.model.apply(variables, to_unit_range(x),
                                         method=VQGANFCM.codebook_inputs)
                 if qcfg.use_cosine_sim:
                     flat = l2norm(flat)
@@ -135,7 +178,7 @@ class FavaeTrainer:
         if use_actnorm:
             @jax.jit
             def _actnorm_values(variables, cb_state, x):
-                outs = self.model.apply(variables, x, cb_state,
+                outs = self.model.apply(variables, to_unit_range(x), cb_state,
                                         train=False, inference=True)
                 _, mut = self.model.apply(
                     variables, outs["x_recon"], train=False, data_init=True,
@@ -189,7 +232,7 @@ class FavaeTrainer:
                                   ("weight_d", "imgs_per_sec")))
             if step % cfg.img_steps == 0:
                 self.writer.recon_grid(
-                    "train/img-recon", x[:4],
+                    "train/img-recon", _host_f32(x[:4]),
                     np.asarray(metrics["x_recon"])[:4], gstep)
 
     def _log_sigmas(self, scalars: Dict[str, float]) -> None:
@@ -222,7 +265,7 @@ class FavaeTrainer:
             totals[k] = float(totals[k]) / max(n, 1)
         self.writer.scalars("val", totals, epoch)
         if last is not None:
-            self.writer.recon_grid("val/img-recon", last[0][:4],
+            self.writer.recon_grid("val/img-recon", _host_f32(last[0][:4]),
                                    np.asarray(last[1]["x_recon"])[:4], epoch)
         print0(f"=== validate epoch {epoch}: "
                + " ".join(f"{k}={v:.4f}" for k, v in totals.items()))

@@ -23,23 +23,40 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "host_meta.json")
 
 
+def _commit_path(path: str) -> str:
+    return os.path.join(path, "_COMMITTED")
+
+
 def save_checkpoint(path: str, state: Any, meta: Optional[Dict] = None) -> None:
-    """Atomically write `state` (any pytree) + host metadata to `path`."""
+    """Crash-safe write of `state` (any pytree) + host metadata to `path`.
+
+    Invariant (mirrors the reference's tmp->rename dance, reference
+    utils.py:108-119): at every instant a restorable checkpoint exists.
+    We write the full checkpoint to ``path + ".tmp"`` first (marked
+    complete by a ``_COMMITTED`` file written last), then swap it in via
+    two renames. A crash at any point leaves either a valid ``path``, a
+    committed ``path.tmp``, or the previous ``path.old`` — all of which
+    ``try_resume`` knows how to use.
+    """
     path = os.path.abspath(path)
+    tmp = path + ".tmp"
     ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, state)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        with open(_meta_path(tmp), "w") as f:
+            json.dump(meta, f)
+    with open(_commit_path(tmp), "w") as f:
+        f.write("ok")
+    old = path + ".old"
     if os.path.exists(path):
-        old = path + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(path, old)
-    else:
-        old = None
-    ckptr.save(path, state)
-    ckptr.wait_until_finished()
-    if meta is not None:
-        with open(_meta_path(path), "w") as f:
-            json.dump(meta, f)
-    if old and os.path.exists(old):
+    os.rename(tmp, path)
+    if os.path.exists(old):
         shutil.rmtree(old)
 
 
@@ -83,7 +100,22 @@ class CheckpointManager:
             save_checkpoint(self.best_path, state, meta)
 
     def try_resume(self, target: Any):
-        """Returns (state, meta) from latest if present, else (None, {})."""
+        """Returns (state, meta) from the newest restorable checkpoint.
+
+        Fallback order covers every crash window of ``save_checkpoint``:
+        ``latest`` (normal case), then a committed ``latest.tmp`` (died
+        between the two swap renames — the tmp write had completed), then
+        ``latest.old`` (died before the new write committed). Whichever is
+        chosen is first renamed back to ``latest`` so the directory
+        returns to its steady state.
+        """
+        if not os.path.isdir(self.latest_path):
+            tmp = self.latest_path + ".tmp"
+            old = self.latest_path + ".old"
+            if os.path.isdir(tmp) and os.path.exists(_commit_path(tmp)):
+                os.rename(tmp, self.latest_path)
+            elif os.path.isdir(old):
+                os.rename(old, self.latest_path)
         if os.path.isdir(self.latest_path):
             state, meta = restore_checkpoint(self.latest_path, target)
             self.best_score = meta.get("best_score", float("inf"))

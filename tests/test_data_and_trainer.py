@@ -88,6 +88,42 @@ def test_imagenet_manifest_builder(tmp_path):
     assert len(m) == 2 and m[0].endswith("a.jpg")
 
 
+def test_uint8_loader_and_device_normalize(tmp_path):
+    """The uint8 fast path must reproduce the reference transform exactly:
+    resized uint8 + on-device to_unit_range == host-side f32 normalize."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from favae_tpu.train.favae_step import to_unit_range
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray((np.random.RandomState(i).rand(20, 24, 3) * 255)
+                        .astype(np.uint8)).save(p)
+        paths.append(str(p))
+    mpath = tmp_path / "m.pkl"
+    with open(mpath, "wb") as f:
+        pickle.dump(paths, f)
+
+    ds8 = PklImageDataset(str(mpath), resolution=16, output_dtype="uint8")
+    ds32 = PklImageDataset(str(mpath), resolution=16)
+    x8 = ds8.get(0)
+    assert x8.dtype == np.uint8 and x8.shape == (16, 16, 3)
+    np.testing.assert_allclose(np.asarray(to_unit_range(jnp.asarray(x8))),
+                               ds32.get(0), atol=1e-6)
+
+    # process-pool decode yields identical batches to the thread pool
+    dl_proc = DataLoader(ds8, batch_size=2, shuffle=False, num_workers=2,
+                         use_processes=True)
+    dl_thr = DataLoader(ds8, batch_size=2, shuffle=False, num_workers=2)
+    try:
+        for a, b in zip(dl_proc, dl_thr):
+            assert a.dtype == np.uint8
+            np.testing.assert_array_equal(a, b)
+    finally:
+        dl_proc.close()
+
+
 def test_cosine_warmup_schedule():
     kw = dict(warmup_epochs=2, epochs=10, lr=1.0, min_lr=0.1)
     assert cosine_warmup_lr(0.0, **kw) == 0.0
@@ -97,7 +133,7 @@ def test_cosine_warmup_schedule():
     assert cosine_warmup_lr(5.0, enabled=False, **kw) == 1.0
 
 
-def tiny_setup(tmp_path):
+def tiny_setup(tmp_path, name="ckpt"):
     model_cfg = VQGANConfig(
         codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
                           attn_resolutions=(), resolution=32, z_channels=64),
@@ -108,7 +144,7 @@ def tiny_setup(tmp_path):
     loss_cfg = LossConfig(gaussian_kernel=3, dsl_init_sigma=1.0,
                           disc_start_epochs=1, ffl_start_epochs=0)
     train_cfg = TrainConfig(batch_size=8, epochs=2, print_steps=1, img_steps=100)
-    return FavaeTrainer(model_cfg, loss_cfg, train_cfg, str(tmp_path / "ckpt"))
+    return FavaeTrainer(model_cfg, loss_cfg, train_cfg, str(tmp_path / name))
 
 
 def test_trainer_fit_and_resume(tmp_path):
@@ -190,6 +226,89 @@ def test_actnorm_init_wiring(tmp_path):
             assert not np.allclose(scale, 1.0), name
             assert np.all(np.isfinite(loc)) and np.all(scale > 0)
     assert n_norm == 2  # norm_1, norm_2
+
+
+def test_trainer_resume_from_explicit_path(tmp_path):
+    """--resume_path warm-starts a NEW run directory from another run's
+    checkpoint (reference: train_favae.py:334-341 torch.loads an arbitrary
+    --resume_path)."""
+    trainer = tiny_setup(tmp_path, "run_a")
+    ds = SyntheticDataset(resolution=32, size=16)
+    dl = DataLoader(ds, batch_size=8, num_workers=1)
+    trainer.fit(dl, dl, epochs=1)
+
+    trainer2 = tiny_setup(tmp_path, "run_b")
+    trainer2.resume(os.path.join(str(tmp_path / "run_a"), "latest"))
+    assert trainer2.start_epoch == 1
+    a = jax.tree_util.tree_leaves(trainer.state.params_g)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params_g)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the new run checkpoints into its own directory
+    assert trainer2.ckpt.save_dir.endswith("run_b")
+
+
+def test_trainer_resume_path_torch_warmstart(tmp_path, monkeypatch):
+    """A torch .pt resume_path routes through convert_favae and replaces the
+    model weights while keeping fresh optimizers (weights-only warm start)."""
+    import favae_tpu.utils.torch_convert as tc
+    from favae_tpu.train.favae_state import merge_params
+
+    trainer = tiny_setup(tmp_path)
+    fake_pt = tmp_path / "expe.pt"
+    fake_pt.write_bytes(b"placeholder")
+
+    params = merge_params(trainer.state.params_g, trainer.state.params_d)
+    bumped = jax.tree_util.tree_map(lambda a: np.asarray(a) + 1.0, params)
+    opt_before = jax.tree_util.tree_leaves(trainer.state.opt_g)
+
+    def fake_convert(path, cfg):
+        assert path == str(fake_pt)
+        return bumped, trainer.state.batch_stats, trainer.state.cb_state
+
+    monkeypatch.setattr(tc, "convert_favae", fake_convert)
+    before = np.asarray(jax.tree_util.tree_leaves(trainer.state.params_g)[0]).copy()
+    trainer.resume(str(fake_pt))
+    after = np.asarray(jax.tree_util.tree_leaves(trainer.state.params_g)[0])
+    np.testing.assert_allclose(after, before + 1.0)
+    assert trainer.start_epoch == 0  # weights-only: no epoch restored
+    # optimizer state untouched (still the fresh init)
+    for x, y in zip(opt_before, jax.tree_util.tree_leaves(trainer.state.opt_g)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_crash_window_old_fallback(tmp_path):
+    """Die after `latest` was renamed away but before the new write landed:
+    try_resume must restore from latest.old (the reference's tmp->rename
+    invariant, utils.py:108-119: never a moment without a valid ckpt)."""
+    state = {"a": np.arange(4, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    save_checkpoint(mgr.latest_path, state, {"epoch": 5, "best_score": 0.5})
+    # simulate the crash: latest renamed to .old, replacement never written
+    os.rename(mgr.latest_path, mgr.latest_path + ".old")
+    # plus a partial (uncommitted) tmp dir from the interrupted writer
+    os.makedirs(mgr.latest_path + ".tmp")
+    restored, meta = mgr.try_resume(state)
+    assert restored is not None and meta["epoch"] == 5
+    np.testing.assert_array_equal(restored["a"], state["a"])
+    assert mgr.best_score == 0.5
+
+
+def test_checkpoint_crash_window_tmp_fallback(tmp_path):
+    """Die between the two swap renames: a COMMITTED latest.tmp (the newer
+    state) must win over latest.old."""
+    state_old = {"a": np.zeros(4, dtype=np.float32)}
+    state_new = {"a": np.ones(4, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    save_checkpoint(mgr.latest_path, state_old, {"epoch": 1})
+    scratch = str(tmp_path / "scratch")
+    save_checkpoint(scratch, state_new, {"epoch": 2})
+    os.rename(mgr.latest_path, mgr.latest_path + ".old")
+    os.rename(scratch, mgr.latest_path + ".tmp")  # committed marker inside
+    restored, meta = mgr.try_resume(state_new)
+    assert meta["epoch"] == 2
+    np.testing.assert_array_equal(restored["a"], state_new["a"])
+    # steady state restored: latest exists again
+    assert os.path.isdir(mgr.latest_path)
 
 
 def test_checkpoint_atomic_roundtrip(tmp_path):
