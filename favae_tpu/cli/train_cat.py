@@ -52,6 +52,13 @@ def build_parser():
     p.add_argument("--img_steps", type=int, default=1000)
     p.add_argument("--txt_tok_cond", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume_path", type=str, default=None,
+                   help="explicit checkpoint to resume/warm-start from: an "
+                        "Orbax dir (full state) or a reference-format torch "
+                        ".pt (GPT weights only). Default: save_dir/latest "
+                        "(reference: train_cat.py:199-204)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for the GPT (devices = dp*tp)")
     p.add_argument("--train_file", type=str, default=None)
     p.add_argument("--val_file", type=str, default=None)
     p.add_argument("--use_cosine_sim", action="store_true")
@@ -179,9 +186,9 @@ def main(argv=None):
                          favae_variables=favae_variables, cb_state=cb_state,
                          clip_params=clip_params, tokenizer=tokenizer,
                          log_dir=os.path.join(save_path, "runs"),
-                         enabled_warmup=args.enabled_warmup)
-    if args.resume:
-        trainer.resume()
+                         enabled_warmup=args.enabled_warmup, tp=args.tp)
+    if args.resume or args.resume_path:
+        trainer.resume(args.resume_path)
     print0(f"devices={jax.device_count()} global_batch={global_batch}")
     trainer.fit(train_dl, val_dl, print_steps=args.print_steps,
                 img_steps=args.img_steps)

@@ -50,6 +50,11 @@ class CodecConfig:
     # groups for the decoder's first conv-FCM block (reference --num_groups,
     # models/codec.py:725); all other GroupNorms use 32 groups.
     num_groups: int = 32
+    # train-mode dropout inside the attn-FCM blocks (reference: codec.py:113
+    # wraps nn.TransformerEncoderLayer, whose default dropout is 0.1; the
+    # variant's 4th FCM ResnetBlock uses the same rate). Exposed so parity
+    # tests can pin the attn decoder deterministically.
+    attn_fcm_dropout: float = 0.1
 
     @property
     def downsample_factor(self) -> int:
@@ -124,6 +129,13 @@ class LossConfig:
     ffl_alpha: float = 1.0
     disc_start_epochs: int = 1
     ffl_start_epochs: int = 0
+    # dtype of the DFT matmuls inside FFL/DSL/SL ("bfloat16" or "float32").
+    # Explicit config — NOT sniffed from the backend — so the production bf16
+    # spectra path is visible and test-pinnable. The distance/weight math
+    # downstream is always float32. Presets use bfloat16 (the TPU-tuned
+    # choice, see docs/ROADMAP.md); the default stays float32 = the
+    # reference's FFT precision.
+    spectral_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -233,6 +245,12 @@ class CATConfig:
     gpt: GPTConfig = _f(default_factory=GPTConfig)
     clip: CLIPTextConfig = _f(default_factory=CLIPTextConfig)
     normalize_clip: bool = False
+    # Compat: the reference keeps cond_drop_prob=0.25 ACTIVE during the
+    # validation CE (models/gpt_ca.py:286,311-313 — the random drop mask is
+    # not gated on .eval(), and txt_cond_transformer.py:112-125 never
+    # overrides it). We deliberately default to a deterministic val metric
+    # (no cond drop at eval); set True to reproduce the reference behavior.
+    eval_cond_drop: bool = False
     top_k: int = 500
     top_p: float = 0.95
     cond_scale: float = 3.0
@@ -265,7 +283,7 @@ def celebahq_expe5_losses() -> LossConfig:
     return LossConfig(
         perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
         ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=9, dsl_init_sigma=3.0,
-        disc_start_epochs=1,
+        disc_start_epochs=1, spectral_dtype="bfloat16",
     )
 
 
@@ -285,7 +303,7 @@ def ffhq_table1_losses() -> LossConfig:
     return LossConfig(
         perceptual_weight=1.0, disc_weight=0.25, codebook_weight=1.0,
         ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=9, dsl_init_sigma=3.0,
-        disc_start_epochs=20,
+        disc_start_epochs=20, spectral_dtype="bfloat16",
     )
 
 
@@ -305,7 +323,7 @@ def imagenet_f16_losses() -> LossConfig:
     return LossConfig(
         perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
         ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=3, dsl_init_sigma=3.0,
-        disc_start_epochs=20,
+        disc_start_epochs=20, spectral_dtype="bfloat16",
     )
 
 
@@ -326,7 +344,7 @@ def imagenet_f4_losses() -> LossConfig:
     return LossConfig(
         perceptual_weight=1.0, disc_weight=0.75, codebook_weight=1.0,
         ffl_weight=1.0, dsl_weight=0.01, gaussian_kernel=3, dsl_init_sigma=3.0,
-        disc_start_epochs=5,
+        disc_start_epochs=5, spectral_dtype="bfloat16",
     )
 
 

@@ -183,10 +183,12 @@ class Decoder(nn.Module):
                 return out
             if self.fcm_kind == FCM_ATTN:
                 if i < 4:
-                    out = TransEncoderBlock(c, dtype=self.dtype,
+                    out = TransEncoderBlock(c, dropout=cfg.attn_fcm_dropout,
+                                            dtype=self.dtype,
                                             name=name)(h, train=train)
                 else:
-                    out = ResnetBlock(c, dropout=0.1, dtype=self.dtype,
+                    out = ResnetBlock(c, dropout=cfg.attn_fcm_dropout,
+                                      dtype=self.dtype,
                                       name=name)(h, train=train)
                 tap(out, i - 1)
                 return out

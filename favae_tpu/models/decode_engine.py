@@ -89,12 +89,20 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
                   top_p: float = 1.0, cond_scale: float = 3.0,
                   qparams: Optional[dict] = None,
                   fused: Optional[dict] = None,
-                  dtype: Any = jnp.bfloat16) -> jax.Array:
+                  dtype: Any = jnp.bfloat16,
+                  forced_tokens: Optional[jax.Array] = None,
+                  return_logits: bool = False) -> jax.Array:
     """CFG sampling loop equivalent to GPT.sample (models/gpt.py:376-429),
     layer loop unrolled over the stacked params. Returns (b, grid, grid).
 
     `fused` (from ops.decode_step_kernel.prepare_fused_decode) routes every
-    token's full layer stack through ONE Pallas launch with int8 weights."""
+    token's full layer stack through ONE Pallas launch with int8 weights.
+
+    Quality-audit hooks (scripts/int8_decode_quality.py): `forced_tokens`
+    (b, S) teacher-forces the autoregressive context (so two engines see
+    identical prefixes and their logits are directly comparable) and
+    `return_logits=True` additionally returns the per-position CFG-combined
+    logits (b, S, vocab) before top-k/top-p filtering."""
     c = cfg
     p = gpt_params
     blocks = p["blocks"]
@@ -145,7 +153,6 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
 
     if fused is not None:
         from favae_tpu.ops.decode_step_kernel import decode_step_fused
-        interpret = jax.default_backend() != "tpu"
         cross_kv_st = jnp.stack(cross_kv)                 # (L, 2b, m+1, dh)
         cross_bias_rm = cross_bias[:, 0, :]               # (2b, m+1)
         rel_table = blocks["self_attn"]["rel_pos_bias"]["pos_bias"][
@@ -226,14 +233,22 @@ def sample_tokens(cfg: GPTConfig, gpt_params, text_embeds, text_mask, *,
         cond, null = logits2[:b], logits2[b:]
         logits = (cond if cond_scale == 1
                   else null + (cond - null) * cond_scale)
-        logits = top_k_top_p_filter(logits, top_k, top_p)
+        filtered = top_k_top_p_filter(logits, top_k, top_p)
         key, sub = jax.random.split(key)
-        tok = gumbel_sample(logits, sub, temperature)
-        tok2 = jnp.concatenate([tok, tok], 0)
-        return (tok2, caches, key), tok
+        tok = gumbel_sample(filtered, sub, temperature)
+        # teacher-force the carried context AFTER recording the free sample
+        tok_carry = (tok if forced_tokens is None
+                     else forced_tokens[:, pos].astype(tok.dtype))
+        tok2 = jnp.concatenate([tok_carry, tok_carry], 0)
+        out = (tok, logits) if return_logits else tok
+        return (tok2, caches, key), out
 
-    (_, _, _), tokens = jax.lax.scan(
+    (_, _, _), outs = jax.lax.scan(
         body, (jnp.zeros((2 * b,), jnp.int32), caches, rng),
         jnp.arange(seq_len))
     g = c.image_encoded_dim
-    return jnp.transpose(tokens).reshape(b, g, g)
+    if return_logits:
+        tokens, logits = outs
+        return (jnp.transpose(tokens).reshape(b, g, g),
+                jnp.transpose(logits, (1, 0, 2)))
+    return jnp.transpose(outs).reshape(b, g, g)

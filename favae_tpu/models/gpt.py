@@ -92,7 +92,6 @@ class MultiQueryAttention(nn.Module):
     heads: int
     dim_head: int = 64
     causal: bool = False
-    context_dim: Optional[int] = None
     dropout: float = 0.0
     rel_pos_size: Optional[int] = None  # enables RelPosBias2d
     dtype: Any = jnp.bfloat16
@@ -232,7 +231,7 @@ class CATBlock(nn.Module):
             dtype=self.dtype)
         self.cross_attn = MultiQueryAttention(
             c.n_embed, c.n_head, c.dim_head, causal=False,
-            context_dim=c.n_cond_embed, dropout=c.dropout, dtype=self.dtype)
+            dropout=c.dropout, dtype=self.dtype)
         self.ff = FeedForward(c.n_embed, dtype=self.dtype)
 
     def __call__(self, x, context, context_mask):

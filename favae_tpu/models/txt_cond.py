@@ -32,6 +32,10 @@ class CATModel:
     clip_params: Any
     gpt: GPT
     tokenizer: Optional[BPETokenizer] = None
+    # one jitted sampler per (top_k, top_p, temperature, cond_scale,
+    # quantized) knob combination; bounded in practice by the handful of
+    # sampling configs a process uses (each entry is a compiled executable,
+    # so evicting would only force recompiles)
     _sample_cache: dict = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -90,9 +94,13 @@ class CATModel:
         embeds, mask = self.encode_text_ids(text_ids,
                                             frozen.get("clip_params"))
         inp = z[:, :-1]
+        # eval: deterministic CE by default; cfg.eval_cond_drop reproduces the
+        # reference's always-on cond drop (see CATConfig.eval_cond_drop)
+        drop = (self.cfg.gpt.cond_drop_prob
+                if (train or self.cfg.eval_cond_drop) else 0.0)
         logits = self.gpt.apply(
             {"params": gpt_params}, inp, embeds, mask,
-            cond_drop_prob=self.cfg.gpt.cond_drop_prob if train else 0.0,
+            cond_drop_prob=drop,
             train=train, rng=rng,
             rngs={"dropout": jax.random.fold_in(rng, 1)} if train else None)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -44,14 +44,14 @@ def focal_frequency_loss(
     """FFL between NHWC `pred` and `target`. Returns a scalar.
 
     `matrix` optionally supplies a precomputed spectrum weight (detached).
-    `compute_dtype` routes the DFT matmuls (defaults to bfloat16 on TPU —
+    `compute_dtype` routes the DFT matmuls (None = float32, the reference's
+    FFT precision; production configs pass LossConfig.spectral_dtype=bf16 —
     the distance/weight math downstream is always float32).
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     if compute_dtype is None:
-        compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                         else jnp.float32)
+        compute_dtype = jnp.float32
 
     # DFT is linear: F_pred - F_true = DFT(pred - target). One transform.
     # The spectra come back in compute_dtype (bf16 on TPU); the distance and
@@ -91,6 +91,7 @@ def feature_tap_ffl(
     dec_feats,
     loss_weight: float = 1.0,
     alpha: float = 1.0,
+    compute_dtype=None,
 ):
     """FFL over mirror-paired feature taps.
 
@@ -103,7 +104,8 @@ def feature_tap_ffl(
     total = jnp.float32(0.0)
     for i in range(n):
         li = focal_frequency_loss(
-            dec_feats[n - 1 - i], enc_feats[i], loss_weight=loss_weight, alpha=alpha)
+            dec_feats[n - 1 - i], enc_feats[i], loss_weight=loss_weight,
+            alpha=alpha, compute_dtype=compute_dtype)
         losses.append(li)
         total = total + li
     return total / n, losses

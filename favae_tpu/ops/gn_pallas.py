@@ -43,15 +43,17 @@ def _row_chunk(hw: int, c: int, itemsize: int) -> int:
     return r
 
 
-def can_fuse_group_norm(shape, num_groups: int) -> bool:
+def can_fuse_group_norm(shape, num_groups: int, itemsize: int = 2) -> bool:
     """Static shape gate for the Pallas path: NHWC with a lane-aligned channel
-    dim and power-of-2-chunkable spatial extent."""
+    dim and power-of-2-chunkable spatial extent. `itemsize` must match the
+    input dtype (2 = bf16 default) — the kernel computes its row chunk from
+    the real dtype, so the gate has to validate the same chunk size."""
     if len(shape) != 4:
         return False
     n, h, w, c = shape
     hw = h * w
     return (c % 128 == 0 and c % num_groups == 0
-            and _row_chunk(hw, c, 2) >= 8)
+            and _row_chunk(hw, c, itemsize) >= 8)
 
 
 def _silu_grad_from(ypre, dy):
@@ -279,7 +281,8 @@ def group_norm_act(x: jax.Array, scale: jax.Array, bias: jax.Array,
     if use_pallas is None:
         use_pallas = (os.environ.get("FAVAE_GN_PALLAS", "0") == "1"
                       and jax.default_backend() == "tpu"
-                      and can_fuse_group_norm(x.shape, num_groups))
+                      and can_fuse_group_norm(x.shape, num_groups,
+                                              x.dtype.itemsize))
     if use_pallas:
         return _gn_act_pallas(x, scale, bias, num_groups, eps, act,
                               jnp.dtype(out_dtype), interpret)

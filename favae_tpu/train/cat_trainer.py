@@ -4,6 +4,13 @@ sampling previews, checkpointing.
 reference: cat_scripts/train_cat.py:69-244. The LR schedule steps fractionally
 per train step (scheduler.step(epoch + step/steps_per_epoch), :78); here it is
 an optax schedule over the global step with the same shape.
+
+Multi-device: the reference launches CAT on 2 GPUs via DDP
+(cat_scripts/script_cat_celeba.sh:19). Here a dp x tp SPMD mesh covers all
+local devices automatically — the batch is sharded over 'dp', the GPT params
+(and their Adam moments) over 'tp' with Megatron-style column/row splits
+(parallel/sharding.py), and the frozen FA-VAE/CLIP towers are replicated.
+tp=1 (pure data parallel, the DDP equivalent) is the default.
 """
 
 from __future__ import annotations
@@ -13,9 +20,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding
 
 from favae_tpu.config import CATConfig
 from favae_tpu.models.txt_cond import CATModel, build_cat
+from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from favae_tpu.parallel.sharding import gpt_param_pspec
 from favae_tpu.train.cat_step import (create_cat_state, make_cat_eval_step,
                                       make_cat_optimizer, make_cat_train_step)
 from favae_tpu.train.schedule import make_step_schedule
@@ -23,14 +33,28 @@ from favae_tpu.utils.checkpoint import CheckpointManager
 from favae_tpu.utils.logging import MetricWriter, print0
 
 
+def shard_cat_state(state, mesh):
+    """Place a CATTrainState on the mesh: GPT kernels (and the Adam moments
+    mirroring them inside opt_state — same dict keys, so the same path rule
+    applies) get the tensor-parallel pspecs; everything else is replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, gpt_param_pspec(path, x))), state)
+
+
 class CATTrainer:
     def __init__(self, cfg: CATConfig, save_dir: str, steps_per_epoch: int,
                  batch_size: int, favae_variables=None, cb_state=None,
                  clip_params=None, tokenizer=None,
                  log_dir: Optional[str] = None, enabled_warmup: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, tp: int = 1):
         self.cfg = cfg
         n_dev = jax.device_count()
+        self.mesh = None
+        if n_dev > 1:
+            if n_dev % tp:
+                raise ValueError(f"device count {n_dev} not divisible by tp={tp}")
+            self.mesh = make_mesh(axes=("dp", "tp"), shape=(n_dev // tp, tp))
         lr = cfg.base_lr * batch_size * n_dev
         self.lr_schedule = make_step_schedule(
             steps_per_epoch, warmup_epochs=cfg.warmup_epochs,
@@ -42,6 +66,12 @@ class CATTrainer:
             cb_state=cb_state, clip_params=clip_params, tokenizer=tokenizer)
         self.tx = make_cat_optimizer(cfg, self.lr_schedule)
         self.state = create_cat_state(self.cat, gpt_params, self.tx)
+        if self.mesh is not None:
+            self.state = shard_cat_state(self.state, self.mesh)
+            self.cat.favae_variables = replicate_tree(
+                self.cat.favae_variables, self.mesh)
+            self.cat.clip_params = replicate_tree(self.cat.clip_params, self.mesh)
+            self.cat.cb_state = replicate_tree(self.cat.cb_state, self.mesh)
         self.frozen = self.cat.frozen_params()
 
         self.train_step = jax.jit(make_cat_train_step(self.cat, self.tx),
@@ -53,12 +83,39 @@ class CATTrainer:
         self.start_epoch = 0
         self.rng = jax.random.PRNGKey(seed + 1)
 
-    def resume(self):
-        state, meta = self.ckpt.try_resume(self.state)
-        if state is not None:
-            self.state = state
-            self.start_epoch = int(meta.get("epoch", 0))
-            print0(f"resumed CAT from epoch {self.start_epoch}")
+    def resume(self, path: Optional[str] = None):
+        """Resume / warm-start (reference: cat_scripts/train_cat.py:199-204,
+        which torch.loads an arbitrary ``--resume_path``). ``path=None``
+        restores ``save_dir/latest``; an Orbax dir restores the full state
+        (params + AdamW + epoch) from there; a torch ``.pt`` warm-starts the
+        GPT weights with a fresh optimizer."""
+        import os
+        if path is None:
+            state, meta = self.ckpt.try_resume(self.state)
+            if state is not None:
+                self.state = state
+                self.start_epoch = int(meta.get("epoch", 0))
+                print0(f"resumed CAT from epoch {self.start_epoch}")
+            return
+        if os.path.isfile(path):  # torch checkpoint
+            from favae_tpu.utils.torch_convert import convert_cat_gpt
+            gpt_params = convert_cat_gpt(path, n_layer=self.cfg.gpt.n_layer)
+            self.state = create_cat_state(self.cat, gpt_params, self.tx)
+            if self.mesh is not None:
+                self.state = shard_cat_state(self.state, self.mesh)
+            print0(f"warm-started GPT weights from torch checkpoint {path}")
+            return
+        from favae_tpu.utils.checkpoint import restore_checkpoint
+        state, meta = restore_checkpoint(path, self.state)
+        self.state = state
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.ckpt.best_score = meta.get("best_score", float("inf"))
+        print0(f"resumed CAT from {path} at epoch {self.start_epoch}")
+
+    def _place(self, x):
+        if self.mesh is not None:
+            return shard_batch(jnp.asarray(x), self.mesh)
+        return jnp.asarray(x)
 
     def _prep_batch(self, batch):
         """(images, [clip_images], captions) -> (x, text_ids, captions)."""
@@ -67,7 +124,7 @@ class CATTrainer:
         else:
             x, captions = batch
         text_ids = self.cat.tokenize(captions)
-        return jnp.asarray(x), text_ids, captions
+        return self._place(x), self._place(text_ids), captions
 
     def train_epoch(self, loader, epoch: int, print_steps=10, img_steps=1000):
         import time
@@ -99,6 +156,9 @@ class CATTrainer:
         return last_loss
 
     def _log_samples(self, name, x, text_ids, captions, step, n=4):
+        # small preview batch: fetch to host first so the sampler sees plain
+        # (default-placed) inputs rather than a sliced dp-sharded array
+        text_ids = jnp.asarray(np.asarray(text_ids)[:n])
         imgs, _ = self.cat.sample_images(
             self.state.gpt_params, text_ids[:n],
             rng=jax.random.fold_in(self.rng, step),

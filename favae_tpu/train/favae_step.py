@@ -40,6 +40,18 @@ from favae_tpu.ops.losses import hinge_d_loss, hinge_g_loss
 from favae_tpu.train.favae_state import FavaeTrainState, merge_params
 
 
+def to_unit_range(x: jax.Array) -> jax.Array:
+    """Accept uint8 [0,255] or float [-1,1] image batches; return f32 [-1,1].
+
+    uint8 host->device transfer is the fast loader path: the 256px batch is
+    4x smaller on the wire, and this normalize reproduces the reference
+    transform ((img/255 - 0.5)/0.5, datasets/general_dataloader.py:32-37)
+    exactly, fused by XLA into the first conv's prologue."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+    return x.astype(jnp.float32)
+
+
 def _conv_same_nhwc(x, kernel, bias):
     """3x3 SAME conv matching flax nn.Conv used for the decoder's final_conv."""
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
@@ -79,7 +91,7 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
 
     def train_step(state: FavaeTrainState, x: jax.Array, rng: jax.Array
                    ) -> Tuple[FavaeTrainState, Dict[str, jax.Array]]:
-        x = x.astype(jnp.float32)
+        x = to_unit_range(x)
         rng = jax.random.fold_in(rng, state.step)
         k_drop, k_vq0, k_vq1, k_drop1 = jax.random.split(rng, 4)
         metrics: Dict[str, jax.Array] = {}
@@ -192,7 +204,8 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
                 def head_ffl(xr):
                     return focal_frequency_loss(
                         xr, x, loss_weight=loss_cfg.ffl_weight,
-                        alpha=loss_cfg.ffl_alpha)
+                        alpha=loss_cfg.ffl_alpha,
+                        compute_dtype=loss_cfg.spectral_dtype)
 
                 loss_ffl, d_ffl = jax.value_and_grad(head_ffl)(x_recon0)
                 loss_g = loss_g + loss_ffl
@@ -202,7 +215,8 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
                 def head_dsl(enc_f, dec_f):
                     loss_dsl, per_tap = feature_tap_ffl(
                         enc_f, dec_f, loss_weight=loss_cfg.dsl_weight,
-                        alpha=loss_cfg.ffl_alpha)
+                        alpha=loss_cfg.ffl_alpha,
+                        compute_dtype=loss_cfg.spectral_dtype)
                     return loss_dsl, per_tap
 
                 (loss_dsl, per_tap), d_taps = jax.value_and_grad(
@@ -223,9 +237,18 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
                                                 sig) for f in enc_f]
                     dec_b = [gaussian_blur_nhwc(f, loss_cfg.gaussian_kernel,
                                                 sig) for f in dec_f]
+                    # NOTE upstream quirk: recon_ffl_features_loss (DSL)
+                    # reverses dec_feats IN PLACE, so a following SL call's
+                    # own reverse (losses/vqgan_losses.py:20,38) restores the
+                    # ORIGINAL order and pairs enc[i] with dec[i] — taps of
+                    # MISMATCHED resolutions, which crashes in the FFL. The
+                    # DSL+SL combination is therefore unusable upstream; we
+                    # mirror-pair unconditionally (the only well-defined
+                    # semantics, = reference behavior when SL runs alone).
                     loss_sl, _ = feature_tap_ffl(
                         enc_b, dec_b, loss_weight=loss_cfg.sl_weight,
-                        alpha=loss_cfg.ffl_alpha)
+                        alpha=loss_cfg.ffl_alpha,
+                        compute_dtype=loss_cfg.spectral_dtype)
                     return loss_sl
 
                 loss_sl, d_taps = jax.value_and_grad(
@@ -300,7 +323,7 @@ def make_eval_step(model: VQGANFCM, lpips_model, loss_cfg: LossConfig):
     eval-mode reconstructions."""
 
     def eval_step(state: FavaeTrainState, x: jax.Array):
-        x = x.astype(jnp.float32)
+        x = to_unit_range(x)
         variables = {"params": merge_params(state.params_g, state.params_d)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

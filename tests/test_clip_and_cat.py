@@ -241,16 +241,20 @@ def test_cat_trainer_fit_and_resume(tmp_path):
     from favae_tpu.train.cat_trainer import CATTrainer
 
     cfg = tiny_cat_cfg()
-    ds = SyntheticDataset(resolution=16, size=8, with_captions=True)
-    dl = DataLoader(ds, batch_size=4, num_workers=1)
-    vdl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    # batch 8: on the virtual 8-device mesh the CAT trainer now runs the
+    # dp-sharded SPMD path (the reference's 2-GPU DDP equivalent), so the
+    # global batch must divide the dp axis
+    ds = SyntheticDataset(resolution=16, size=16, with_captions=True)
+    dl = DataLoader(ds, batch_size=8, num_workers=1)
+    vdl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1)
     tok = BPETokenizer(merges=["s y", "sy n"])
 
-    def build():
-        return CATTrainer(cfg, str(tmp_path / "ckpt"), steps_per_epoch=len(dl),
-                          batch_size=4, tokenizer=tok, seed=0)
+    def build(name="ckpt", tp=1):
+        return CATTrainer(cfg, str(tmp_path / name), steps_per_epoch=len(dl),
+                          batch_size=8, tokenizer=tok, seed=0, tp=tp)
 
     tr = build()
+    assert tr.mesh is not None  # mesh wiring active on the virtual devices
     tr.fit(dl, vdl, epochs=2, print_steps=1, img_steps=0)
     assert tr.ckpt.best_score < float("inf")
 
@@ -261,3 +265,63 @@ def test_cat_trainer_fit_and_resume(tmp_path):
     a = jax.tree_util.tree_leaves(tr.state.gpt_params)[0]
     b = jax.tree_util.tree_leaves(tr2.state.gpt_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # --resume_path: warm-start a new run dir from run A's checkpoint
+    tr3 = build("other")
+    tr3.resume(str(tmp_path / "ckpt" / "latest"))
+    assert tr3.start_epoch == 2
+    c = jax.tree_util.tree_leaves(tr3.state.gpt_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_cat_train_step_sharded_dp_tp_matches_single_device():
+    """The dp x tp trainer placement (batch over 'dp', Megatron column/row
+    splits on the GPT matmuls + their Adam moments) must produce the same
+    loss and updated params as default single-device placement. Reference
+    trains CAT with 2-GPU DDP (cat_scripts/script_cat_celeba.sh:19); tp is
+    the TPU-native extension."""
+    import dataclasses
+    import optax
+    import jax
+    from favae_tpu.models.txt_cond import build_cat
+    from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from favae_tpu.train.cat_step import (create_cat_state, make_cat_optimizer,
+                                          make_cat_train_step)
+    from favae_tpu.train.cat_trainer import shard_cat_state
+
+    cfg = tiny_cat_cfg()
+    cfg = dataclasses.replace(cfg, gpt=dataclasses.replace(cfg.gpt, dropout=0.0))
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    lr = 1e-4
+    tx = make_cat_optimizer(cfg, optax.constant_schedule(lr))
+    state = create_cat_state(cat, gpt_params, tx)
+    frozen = cat.frozen_params()
+    step = jax.jit(make_cat_train_step(cat, tx))
+
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 3)
+                    .astype(np.float32) * 2 - 1)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 50, (8, 8))
+                      .astype(np.int32))
+    s1, m1 = step(state, frozen, x, ids, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(8, axes=("dp", "tp"), shape=(4, 2))
+    state_sh = shard_cat_state(state, mesh)
+    sh_leaf = state_sh.gpt_params["blocks"]["self_attn"]["to_q"]["kernel"]
+    assert "tp" in str(sh_leaf.sharding.spec)  # actually tensor-sharded
+    frozen_sh = replicate_tree(frozen, mesh)
+    s2, m2 = step(state_sh, frozen_sh, shard_batch(x, mesh),
+                  shard_batch(ids, mesh), jax.random.PRNGKey(2))
+
+    assert abs(float(m1["loss_gpt"]) - float(m2["loss_gpt"])) < 1e-4
+    # post-Adam params: resharding changes bf16 reduction order, so
+    # near-zero-grad elements can flip Adam's sign normalization and differ
+    # by up to 2*lr (same noise regime as test_train_parity's bounds); a
+    # routing/sharding bug would shift whole tensors by O(lr)
+    a = np.asarray(s1.gpt_params["blocks"]["self_attn"]["to_q"]["kernel"])
+    b = np.asarray(s2.gpt_params["blocks"]["self_attn"]["to_q"]["kernel"])
+    diff = np.abs(a - b)
+    assert diff.max() < 2.5 * lr, diff.max()
+    assert diff.mean() < 0.05 * lr, diff.mean()
+    # Adam moments sharded like their params
+    mu = s2.opt_state[0].mu["blocks"]["self_attn"]["to_q"]["kernel"]
+    assert "tp" in str(mu.sharding.spec)

@@ -110,6 +110,26 @@ def test_ffl_gradient_only_through_distance():
     np.testing.assert_allclose(np.asarray(g), ref_g, atol=1e-5)
 
 
+def test_ffl_bf16_spectra_close_to_f32():
+    """The production spectral path (LossConfig.spectral_dtype=bfloat16 in
+    every preset) must stay within bf16-mantissa tolerance of the f32 value —
+    pins the bf16 DFT branch that TPU training actually runs, which no other
+    (f32, CPU) test exercises."""
+    rng = np.random.RandomState(11)
+    a = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    f32 = float(focal_frequency_loss(a, b, compute_dtype="float32"))
+    bf16 = float(focal_frequency_loss(a, b, compute_dtype="bfloat16"))
+    # bf16 has ~3 decimal digits; spectra errors average out across the mean
+    assert abs(bf16 - f32) < 2e-2 * abs(f32), (bf16, f32)
+    # gradient path too (the DSL taps backprop through the DFT)
+    g32 = jax.grad(lambda p: focal_frequency_loss(p, b))(a)
+    g16 = jax.grad(lambda p: focal_frequency_loss(
+        p, b, compute_dtype="bfloat16"))(a)
+    denom = np.abs(np.asarray(g32)).max()
+    assert np.abs(np.asarray(g16) - np.asarray(g32)).max() < 5e-2 * denom
+
+
 def test_feature_tap_ffl_mirror_pairing():
     """enc[i] must pair with dec[n-1-i] (reference reverses the decoder list)."""
     rng = np.random.RandomState(5)

@@ -55,7 +55,26 @@ def torch_ffl(pred, target, loss_weight=1.0, alpha=1.0):
     return (w * dist).mean() * loss_weight
 
 
-def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d):
+def torch_gaussian_blur(x, kernel_size, sigma):
+    """T.GaussianBlur oracle (torchvision unavailable): same kernel formula
+    (linspace half-width, normalized pdf) and reflect padding, per channel."""
+    import torch
+    half = (kernel_size - 1) * 0.5
+    g = torch.linspace(-half, half, kernel_size)
+    pdf = torch.exp(-0.5 * (g / sigma) ** 2)
+    k1 = (pdf / pdf.sum()).to(x.dtype)
+    c = x.shape[1]
+    pad = kernel_size // 2
+    xp = torch.nn.functional.pad(x, (pad, pad, pad, pad), mode="reflect")
+    kh = k1.view(1, 1, 1, kernel_size).expand(c, 1, 1, kernel_size)
+    kv = k1.view(1, 1, kernel_size, 1).expand(c, 1, kernel_size, 1)
+    y = torch.nn.functional.conv2d(xp, kh, groups=c)
+    return torch.nn.functional.conv2d(y, kv, groups=c)
+
+
+def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
+                         dsl_w=DSL_W, gaussian_kernel=3, gaussian_sigma=3.0,
+                         lr=LR):
     """Re-enact favae_scripts/train_favae.py:74-116 with pw=0, disc+ffl on."""
     import torch
 
@@ -65,10 +84,10 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d):
                 + list(tmodel.quantizer.parameters()))
     groups = [{"params": g_params}]
     if hasattr(tmodel, "sigmas"):   # pairwise DSL: model-level sigma group
-        groups.append({"params": tmodel.sigmas, "lr": 2.0e-7})
-    opt_g = torch.optim.Adam(groups, lr=LR, betas=(0.5, 0.9))
+        groups.append({"params": tmodel.sigmas, "lr": 2.0e-7 if lr else 0.0})
+    opt_g = torch.optim.Adam(groups, lr=lr, betas=(0.5, 0.9))
     opt_d = torch.optim.Adam(tmodel.discriminator.parameters(),
-                             lr=LR, betas=(0.5, 0.9))
+                             lr=lr, betas=(0.5, 0.9))
     tmodel.train()
     logs = []
     for _ in range(N_STEPS):
@@ -86,10 +105,30 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d):
         loss_g = loss_g + weight_d * DW * loss_disc
 
         loss_ffl = torch_ffl(x_recon, xt, FFL_W)
-        dec_rev = list(reversed(dec_feats))   # losses/vqgan_losses.py:20
-        taps = [torch_ffl(dec_rev[i], enc_feats[i], DSL_W) for i in range(4)]
-        loss_dsl = sum(taps) / 4
-        loss_g = loss_g + loss_ffl + loss_dsl
+        loss_g = loss_g + loss_ffl
+        # in-place reverse semantics preserved (losses/vqgan_losses.py:20,38).
+        # NOTE: DSL and SL cannot both be active upstream — DSL's in-place
+        # reverse makes SL's own reverse restore the original order, pairing
+        # taps of mismatched resolutions (crashes in the FFL). The matrix
+        # tests each branch the only way the reference can run it.
+        de_feat = list(dec_feats)
+        loss_dsl = torch.tensor(0.0)
+        if dsl_w > 0:
+            de_feat.reverse()
+            taps = [torch_ffl(de_feat[i], enc_feats[i], dsl_w)
+                    for i in range(4)]
+            loss_dsl = sum(taps) / 4
+            loss_g = loss_g + loss_dsl
+        loss_sl = torch.tensor(0.0)
+        if sl_w > 0:
+            de_feat.reverse()  # SL's own reverse (mirror pairing when alone)
+            en_b = [torch_gaussian_blur(f, gaussian_kernel, gaussian_sigma)
+                    for f in enc_feats]
+            de_b = [torch_gaussian_blur(f, gaussian_kernel, gaussian_sigma)
+                    for f in de_feat]
+            loss_sl = sum(torch_ffl(de_b[i], en_b[i], sl_w)
+                          for i in range(4)) / 4
+            loss_g = loss_g + loss_sl
         loss_g.backward()
         opt_g.step()
 
@@ -102,6 +141,7 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d):
             loss_l1=loss_l1.item(), loss_q=loss_q.item(),
             loss_disc=loss_disc.item(), weight_d=weight_d,
             loss_ffl=loss_ffl.item(), loss_dsl=loss_dsl.item(),
+            loss_sl=loss_sl.item(),
             loss_d=loss_d.item(), loss_g=loss_g.item(),
             x_recon=x_recon.detach().numpy().transpose(0, 2, 3, 1)))
     return logs
@@ -134,15 +174,25 @@ def _assert_tree_close(ours, ref, atol, what, mean_tol=None,
         assert gm < global_mean_tol, f"{what}: global mean|diff|={gm:.3e}"
 
 
-@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode", [
-    (dict(use_gauss_resblock=True), "res", "nonpair"),   # expe_5 topology
-    (dict(use_same_conv_gauss=True), "conv", "pair"),    # model-level sigmas
+@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode,dsl_w,sl_w,disc_kind", [
+    # expe_5 topology
+    (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "conv"),
+    # model-level sigmas
+    (dict(use_same_conv_gauss=True), "conv", "pair", DSL_W, 0.0, "conv"),
+    # attn-FCM decoder + SL branch active (SL must run with DSL off: the
+    # reference's in-place double reverse crashes otherwise — see
+    # _run_reference_steps)
+    (dict(use_gauss_attn=True), "attn", "nonpair", 0.0, 1.0, "conv"),
+    # PatchGAN discriminator (BN flavour) through both GAN stages
+    (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "patch"),
 ])
-def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
+def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
+                           disc_kind):
     import torch
     sys.path.insert(0, REF)
     try:
         from models.vqgan_fcm import VQGANFCM as TorchVQGAN
+        from models.discriminator import PatchDiscriminator as TPatchD
         from losses.hinge import hinge_d_loss as t_hinge_d
         from losses.hinge import hinge_g_loss as t_hinge_g
         torch.manual_seed(0)
@@ -152,8 +202,23 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
             sync_codebook=False, commitment_weight=CW, kernel_size=3,
             dsl_init_sigma=1.0, device="cpu", num_groups=32,
             inference=False, **torch_flags)
+        if disc_kind == "patch":
+            # upstream bug: vqgan_fcm.py:108 passes n_layers= to a ctor whose
+            # arg is num_layers= — use_patch_discriminator CRASHES through
+            # VQGANFCM. Instantiate the intended module directly instead.
+            tmodel.discriminator = TPatchD(num_layers=3)
     finally:
         sys.path.remove(REF)
+    if fcm_kind == "attn":
+        # the attn-FCM wraps nn.TransformerEncoderLayer with its default
+        # dropout=0.1 ACTIVE in train mode (reference codec.py:113) —
+        # stochastic, so the dynamics can only be pinned with dropout off on
+        # both sides (attn_fcm_dropout=0.0 below mirrors this).
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+            if isinstance(m, torch.nn.MultiheadAttention):
+                m.dropout = 0.0
 
     from favae_tpu.config import (CodecConfig, DiscriminatorConfig, LossConfig,
                                   QuantizerConfig, TrainConfig, VQGANConfig)
@@ -165,14 +230,16 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
 
     cfg = VQGANConfig(
         codec=CodecConfig(ch_mult=(1, 2, 4), attn_resolutions=(),
-                          resolution=256, z_channels=256),
+                          resolution=256, z_channels=256,
+                          attn_fcm_dropout=0.0),
         quantizer=QuantizerConfig(codebook_size=64, dim=256,
                                   use_cosine_sim=True),
-        discriminator=DiscriminatorConfig(kind="conv", num_layers=3),
+        discriminator=DiscriminatorConfig(kind=disc_kind, num_layers=3),
         fcm_kind=fcm_kind, dsl_mode=dsl_mode, compute_dtype="float32")
     loss_cfg = LossConfig(perceptual_weight=0.0, codebook_weight=CW,
-                          disc_weight=DW, ffl_weight=FFL_W, dsl_weight=DSL_W,
-                          sl_weight=0.0, gaussian_kernel=3, dsl_init_sigma=1.0)
+                          disc_weight=DW, ffl_weight=FFL_W, dsl_weight=dsl_w,
+                          sl_weight=sl_w, gaussian_kernel=3,
+                          gaussian_sigma=3.0, dsl_init_sigma=1.0)
     train_cfg = TrainConfig(batch_size=2, faithful_stage1_recompute=True)
 
     sd0 = {k: v.detach().numpy().copy()
@@ -196,7 +263,9 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
             .astype(np.float32) * 2 - 1)
 
     # ---- torch side (mutates tmodel) ----
-    ref_logs = _run_reference_steps(tmodel, x_np, t_hinge_g, t_hinge_d)
+    ref_logs = _run_reference_steps(tmodel, x_np, t_hinge_g, t_hinge_d,
+                                    sl_w=sl_w, dsl_w=dsl_w, gaussian_kernel=3,
+                                    gaussian_sigma=3.0)
 
     # ---- our side ----
     step = jax.jit(make_train_step(
@@ -215,11 +284,15 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
     # the losses amplify slightly -> looser.
     for i, (ref, ours) in enumerate(zip(ref_logs, our_logs)):
         rtol = 2e-3 if i == 0 else 2e-2
-        for rk, ok in [("loss_l1", "loss_l1"), ("loss_q", "loss_q"),
-                       ("loss_disc", "loss_disc"), ("weight_d", "weight_d"),
-                       ("loss_ffl", "loss_ffl"),
-                       ("loss_dsl", "loss_dsl_features"),
-                       ("loss_d", "loss_d"), ("loss_g", "loss_g")]:
+        pairs = [("loss_l1", "loss_l1"), ("loss_q", "loss_q"),
+                 ("loss_disc", "loss_disc"), ("weight_d", "weight_d"),
+                 ("loss_ffl", "loss_ffl"),
+                 ("loss_d", "loss_d"), ("loss_g", "loss_g")]
+        if dsl_w > 0:
+            pairs.append(("loss_dsl", "loss_dsl_features"))
+        if sl_w > 0:
+            pairs.append(("loss_sl", "loss_sl_gauss_features"))
+        for rk, ok in pairs:
             # weight_d is a ratio of full-graph gradient norms — the most
             # chaotic scalar; verified with lr=0 that the divergence comes
             # from Adam sign-flips on near-zero grads, not routing.
@@ -249,10 +322,14 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
     # The discriminator's post-step bounds are looser: hinge-loss grads are
     # cancellation sums (head.bias grad is exactly 0 when all margins are
     # active; BN biases are near-zero channel sums), so a larger fraction of
-    # its few params sits in the Adam sign-noise regime. Its gradients are
+    # its few params sits in the Adam sign-noise regime, and its smallest
+    # leaves (64-element biases) make the per-leaf mean itself noisy
+    # (measured 0.4*lr on conv_in.bias in the attn case). Its gradients are
     # pinned tightly (2e-6 relative) by test_discriminator_grad_parity below.
+    # global mean measured 0.16-0.21*lr across the matrix (attn case peaks);
+    # a routing bug shifts it by O(lr)
     _assert_tree_close(state.params_d, params_dN, atol=4.5 * LR,
-                       mean_tol=0.35 * LR, global_mean_tol=0.2 * LR,
+                       mean_tol=0.5 * LR, global_mean_tol=0.25 * LR,
                        what="params_d")
     # embed_avg is excluded: the reference CosineSimCodebook has no such
     # buffer (l2_quantize.py:308-444) — the converter synthesizes it from
@@ -286,6 +363,81 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode):
     if bsN:
         _assert_tree_close(state.batch_stats, bsN, atol=1e-2,
                            what="batch_stats")
+
+
+def test_train_parity_lr0_batch_stats_tight():
+    """lr=0 run: params stay frozen on both sides, so after two full GAN
+    steps the discriminator BN running stats (D forward on x / x_recon in
+    train mode, momentum blend + unbiased running var) must match at the
+    tight 5e-3 tolerance — a pin on the D-forward/BN path independent of the
+    Adam-amplified fp noise that forces the 1e-2 bound in the lr>0 cases."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from models.vqgan_fcm import VQGANFCM as TorchVQGAN
+        from losses.hinge import hinge_d_loss as t_hinge_d
+        from losses.hinge import hinge_g_loss as t_hinge_g
+        torch.manual_seed(0)
+        tmodel = TorchVQGAN(
+            64, 256, False, ch_mult=(1, 2, 4), attn_resolutions=[],
+            use_cosine_sim=True, codebook_dim=None, use_l2_quantizer=True,
+            sync_codebook=False, commitment_weight=CW, kernel_size=3,
+            dsl_init_sigma=1.0, device="cpu", num_groups=32,
+            inference=False, use_gauss_resblock=True)
+    finally:
+        sys.path.remove(REF)
+
+    from favae_tpu.config import (CodecConfig, DiscriminatorConfig, LossConfig,
+                                  QuantizerConfig, TrainConfig, VQGANConfig)
+    from favae_tpu.models.lpips import LPIPS
+    from favae_tpu.models.quantizer import CodebookState
+    from favae_tpu.train.favae_state import FavaeTrainState, split_params
+    from favae_tpu.train.favae_step import make_train_step
+    from favae_tpu.utils.torch_convert import convert_favae
+
+    cfg = VQGANConfig(
+        codec=CodecConfig(ch_mult=(1, 2, 4), attn_resolutions=(),
+                          resolution=256, z_channels=256),
+        quantizer=QuantizerConfig(codebook_size=64, dim=256,
+                                  use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=3),
+        fcm_kind="res", dsl_mode="nonpair", compute_dtype="float32")
+    loss_cfg = LossConfig(perceptual_weight=0.0, codebook_weight=CW,
+                          disc_weight=DW, ffl_weight=FFL_W, dsl_weight=DSL_W,
+                          sl_weight=0.0, gaussian_kernel=3, dsl_init_sigma=1.0)
+    train_cfg = TrainConfig(batch_size=2, faithful_stage1_recompute=True)
+
+    sd0 = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    params0, bs0, cb0 = convert_favae(sd0, cfg)
+    params_g0, params_d0 = split_params(params0)
+
+    state, model, tx_g, tx_d = FavaeTrainState.create(
+        cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=0.0, image_size=32)
+    to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    state = state.replace(
+        params_g=to_j(params_g0), params_d=to_j(params_d0),
+        batch_stats=to_j(bs0),
+        cb_state=CodebookState(embed=jnp.asarray(cb0.embed),
+                               cluster_size=jnp.asarray(cb0.cluster_size),
+                               embed_avg=jnp.asarray(cb0.embed_avg)))
+    state = state.replace(opt_g=tx_g.init(state.params_g),
+                          opt_d=tx_d.init(state.params_d))
+
+    x_np = (np.random.RandomState(0).rand(2, 32, 32, 3)
+            .astype(np.float32) * 2 - 1)
+    _run_reference_steps(tmodel, x_np, t_hinge_g, t_hinge_d, lr=0.0)
+
+    step = jax.jit(make_train_step(
+        model, LPIPS(dtype=jnp.float32), tx_g, tx_d, cfg, loss_cfg, train_cfg,
+        disc_on=True, ffl_on=True))
+    for _ in range(N_STEPS):
+        state, _ = step(state, jnp.asarray(x_np), jax.random.PRNGKey(7))
+
+    sdN = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    _, bsN, _ = convert_favae(sdN, cfg)
+    _assert_tree_close(state.batch_stats, bsN, atol=5e-3, what="lr0 batch_stats")
+    # params really did stay frozen (lr=0 both sides)
+    _assert_tree_close(state.params_g, params_g0, atol=1e-7, what="lr0 params_g")
 
 
 def test_discriminator_grad_parity():
