@@ -10,17 +10,24 @@ paths) and datasets/general_dataloader_gpt.py (CAT: pickled list of
 * corrupt/unreadable images fall through to the next index
   (general_dataloader.py:59-67); truncated files tolerated.
 
-TPU-native differences: decoding runs in a thread pool feeding fixed-size
-numpy batches (NHWC float32), each host loads only its shard of the global
-batch, and a `SyntheticDataset` stands in when no manifest is available
-(benchmarks, smoke tests).
+TPU-native differences: decoding runs in a thread pool (or, for hosts where
+JPEG decode fights the dispatch thread for the GIL, a process pool —
+`use_processes=True`) feeding fixed-size numpy batches, each host loads only
+its shard of the global batch, and a `SyntheticDataset` stands in when no
+manifest is available (benchmarks, smoke tests).
+
+Fast path: `output_dtype="uint8"` skips the host-side normalize and ships
+resized uint8 batches (4x less host->device traffic); the train/eval steps
+normalize on device (train/favae_step.py `to_unit_range`), reproducing the
+reference transform bit-for-bit in f32.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import pickle
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -62,6 +69,12 @@ def _transform(img, resolution: int) -> np.ndarray:
     return (x - MEAN) / STD  # HWC in [-1, 1]
 
 
+def _transform_uint8(img, resolution: int) -> np.ndarray:
+    """Resize only; normalization happens on device (to_unit_range)."""
+    img = img.resize((resolution, resolution), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
 def _clip_transform(img) -> np.ndarray:
     img = img.resize((224, 224), Image.BICUBIC)
     x = np.asarray(img, np.float32) / 255.0
@@ -72,13 +85,16 @@ class PklImageDataset:
     """Image dataset over a pkl manifest (paths or [path, caption])."""
 
     def __init__(self, manifest_path: str, resolution: int,
-                 with_captions: bool = False, with_clip_image: bool = False):
+                 with_captions: bool = False, with_clip_image: bool = False,
+                 output_dtype: str = "float32"):
         if not _HAVE_PIL:
             raise RuntimeError("PIL is required for image loading")
         self.entries = load_manifest(manifest_path)
         self.resolution = resolution
         self.with_captions = with_captions
         self.with_clip_image = with_clip_image
+        # "uint8": ship raw resized pixels, normalize on device (fast path)
+        self.output_dtype = output_dtype
 
     def __len__(self):
         return len(self.entries)
@@ -92,7 +108,9 @@ class PklImageDataset:
             img = _load_image(path)
             if img is None:
                 continue
-            x = _transform(img, self.resolution)
+            x = (_transform_uint8(img, self.resolution)
+                 if self.output_dtype == "uint8"
+                 else _transform(img, self.resolution))
             if not self.with_captions:
                 return x
             out = [x]
@@ -124,19 +142,38 @@ class SyntheticDataset:
         return x
 
 
+# --- process-pool workers (module-level so they pickle by reference) -------
+_WORKER_DS = None
+
+
+def _proc_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _proc_fetch(indices):
+    return [_WORKER_DS.get(int(i)) for i in indices]
+
+
 class DataLoader:
     """Shuffling, batching, prefetching loader.
 
-    Yields numpy batches: images stacked NHWC float32 (plus caption lists for
-    caption datasets). `shard_index/shard_count` statically shard the sample
-    space per host (replacing Accelerate's loader sharding, reference:
+    Yields numpy batches: images stacked NHWC (plus caption lists for caption
+    datasets). `shard_index/shard_count` statically shard the sample space
+    per host (replacing Accelerate's loader sharding, reference:
     favae_scripts/train_favae.py:344-347).
+
+    `use_processes=True` decodes in worker PROCESSES instead of threads: on
+    single-core hosts PIL JPEG decode and the XLA dispatch thread otherwise
+    fight over one GIL (measured 42% train-step slowdown, docs/ROADMAP.md);
+    worker processes own their interpreters, and with uint8 datasets the IPC
+    cost is ~200KB/image.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, num_workers: int = 8,
                  shard_index: int = 0, shard_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_processes: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -146,7 +183,26 @@ class DataLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self.epoch = 0
+        self._pool = None  # persistent process pool (forking is expensive)
+
+    def _process_pool(self):
+        if self._pool is None:
+            # forkserver: workers don't inherit the parent's TPU/JAX threads
+            # (unsafe to fork) and don't re-import __main__ (spawn would)
+            methods = multiprocessing.get_all_start_methods()
+            ctx = multiprocessing.get_context(
+                "forkserver" if "forkserver" in methods else "spawn")
+            self._pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_proc_init, initargs=(self.ds,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     def __len__(self):
         n = len(self.ds) // self.shard_count
@@ -169,6 +225,21 @@ class DataLoader:
         n_batches = len(self)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+
+        if self.use_processes:
+            pool = self._process_pool()  # persistent across epochs
+            pending = []
+            for b in range(min(self.prefetch + 1, n_batches)):
+                pending.append(pool.submit(_proc_fetch, batches[b]))
+            next_submit = len(pending)
+            for b in range(n_batches):
+                out = self._collate(pending.pop(0).result())
+                if next_submit < n_batches:
+                    pending.append(pool.submit(_proc_fetch,
+                                               batches[next_submit]))
+                    next_submit += 1
+                yield out
+            return
 
         def fetch(batch_idx):
             items = [self.ds.get(int(i)) for i in batches[batch_idx]]

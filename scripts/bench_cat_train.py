@@ -1,0 +1,88 @@
+"""Full-size CAT training throughput: gpt2_medium train step on the TPU.
+
+The reference trains CAT on 2 GPUs via DDP (cat_scripts/script_cat_celeba.sh)
+but publishes no throughput; this bench gives our number the same rigor as
+the FA-VAE step bench: the COMPLETE hot loop (frozen FA-VAE encode @256px +
+frozen CLIP text encode + gpt2_medium fwd/bwd/AdamW, one jit —
+cat_scripts/train_cat.py:69-109), state-chained timing, sync on the scalar
+loss.
+
+Reports samples/s, tokens/s (256 image tokens per sample), achieved TFLOP/s
+and MFU from the CPU-cost-analysis FLOPs constant (measure with
+`python scripts/measure_step_flops.py <batch> cat`; value below for batch 8).
+
+    B=8 python scripts/bench_cat_train.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from favae_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from favae_tpu.config import cat_celebahq  # noqa: E402
+from favae_tpu.models.txt_cond import build_cat  # noqa: E402
+from favae_tpu.train.cat_step import (  # noqa: E402
+    create_cat_state, make_cat_optimizer, make_cat_train_step)
+
+# scripts/measure_step_flops.py <B> cat — per-sample GFLOP at batch 8
+GFLOP_PER_SAMPLE = {8: None}  # filled after first CPU measurement; see docs
+V5E_BF16_PEAK_TFLOPS = 197.0
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    b = int(os.environ.get("B", "8"))
+    cfg = cat_celebahq()
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
+    state = create_cat_state(cat, gpt_params, tx)
+    frozen = cat.frozen_params()
+    step = jax.jit(make_cat_train_step(cat, tx), donate_argnums=0)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(b, 256, 256, 3)
+                    .astype(np.float32) * 2 - 1)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 40000, (b, 77)),
+                      jnp.int32)
+    rng = jax.random.PRNGKey(2)
+
+    for _ in range(WARMUP):
+        state, m = step(state, frozen, x, ids, rng)
+    jax.block_until_ready(m["loss_gpt"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = step(state, frozen, x, ids, rng)
+    jax.block_until_ready(m["loss_gpt"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    samples_per_sec = b / dt
+    seq = cfg.gpt.image_encoded_dim ** 2
+    out = {
+        "metric": "CAT gpt2_medium train step (full pipeline @256px)",
+        "batch": b,
+        "step_ms": round(dt * 1e3, 1),
+        "samples_per_sec": round(samples_per_sec, 2),
+        "tokens_per_sec": round(samples_per_sec * seq, 0),
+    }
+    gflop = os.environ.get("GFLOP_PER_SAMPLE")
+    if gflop:
+        tflops = samples_per_sec * float(gflop) / 1e3
+        out["tflops"] = round(tflops, 1)
+        out["mfu_pct"] = round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,21 @@ def test_train_step_sharded_over_mesh():
         np.asarray(new_state_1.cb_state.cluster_size), atol=1e-4)
 
 
+def test_train_step_uint8_input_matches_f32():
+    """A uint8 batch through the in-step normalize must match the f32 batch
+    path (the loader's uint8 fast path changes transport, not math)."""
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=True, ffl_on=True)
+    u8 = np.random.RandomState(6).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    jstep = jax.jit(step)
+    _, m8 = jstep(state, jnp.asarray(u8), jax.random.PRNGKey(1))
+    _, m32 = jstep(state, jnp.asarray(f32), jax.random.PRNGKey(1))
+    for k in ("loss_g", "loss_l1", "loss_q", "loss_d"):
+        assert abs(float(m8[k]) - float(m32[k])) < 1e-5, k
+
+
 def test_eval_step():
     model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
     state, model, lpips, _ = build(model_cfg, loss_cfg, disc_on=False, ffl_on=False)
