@@ -59,12 +59,15 @@ def main():
 
     for _ in range(WARMUP):
         state, m = step(state, frozen, x, ids, rng)
-    jax.block_until_ready(m["loss_gpt"])
+        _ = float(m["loss_gpt"])
 
+    # per-step host fetch of the scalar loss: the only trustworthy sync on
+    # this backend (end-of-loop block_until_ready reports ready far too
+    # early through the relay; see .claude/skills/verify/SKILL.md)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, m = step(state, frozen, x, ids, rng)
-    jax.block_until_ready(m["loss_gpt"])
+        _ = float(m["loss_gpt"])
     dt = (time.perf_counter() - t0) / ITERS
 
     samples_per_sec = b / dt

@@ -49,7 +49,15 @@ def _report(compiled, batch):
 def measure_cat(batch):
     """FLOPs of the full CAT train step (frozen FA-VAE encode + CLIP text +
     gpt2_medium fwd/bwd/AdamW) at 256px — the reference's CAT hot loop
-    (cat_scripts/train_cat.py:69-109)."""
+    (cat_scripts/train_cat.py:69-109).
+
+    CAVEAT: XLA cost analysis counts a while-loop body ONCE, and the GPT
+    blocks run under nn.scan — the number printed here misses the x24 layer
+    multiplicity (measured 1.64e12 at batch 8, vs ~1.4e12 *per sample*
+    analytically: ~50.5 MFLOP/token/layer of projections x24 layers x3
+    (fwd+bwd) + remat refwd + FA-VAE encoder ~180 GFLOP/image). Use the
+    analytic figure for CAT MFU; the FA-VAE step has no scans, so its
+    measurement above is trustworthy."""
     import optax
     from favae_tpu.config import cat_celebahq
     from favae_tpu.models.txt_cond import build_cat
