@@ -72,6 +72,32 @@ def test_engine_int8_runs_and_is_close(small_gpt):
     assert agree > 0.5, f"token agreement {agree}"
 
 
+def test_sample_tokens_audit_hooks(small_gpt):
+    """forced_tokens + return_logits (the int8-quality-audit hooks,
+    scripts/int8_decode_quality.py): teacher-forcing the engine with its own
+    sampled grid must reproduce identical logits and identical free samples
+    (same contexts, same rng), and the logits trace carries (b, S, vocab)."""
+    cfg, gpt, params = small_gpt
+    embeds, mask = _inputs(cfg)
+    key = jax.random.PRNGKey(11)
+    grid, logits = sample_tokens(cfg, params, embeds, mask, rng=key,
+                                 top_k=8, top_p=0.9, cond_scale=3.0,
+                                 return_logits=True)
+    s = cfg.image_encoded_dim ** 2
+    assert logits.shape == (2, s, cfg.vocab_size)
+    grid2, logits2 = sample_tokens(cfg, params, embeds, mask, rng=key,
+                                   top_k=8, top_p=0.9, cond_scale=3.0,
+                                   forced_tokens=grid.reshape(2, -1),
+                                   return_logits=True)
+    np.testing.assert_array_equal(np.asarray(grid), np.asarray(grid2))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               atol=1e-5)
+    # plain call (no hooks) is unchanged by the plumbing
+    plain = sample_tokens(cfg, params, embeds, mask, rng=key,
+                          top_k=8, top_p=0.9, cond_scale=3.0)
+    np.testing.assert_array_equal(np.asarray(grid), np.asarray(plain))
+
+
 def test_quantize_decode_params_shapes(small_gpt):
     cfg, _, params = small_gpt
     qp = quantize_decode_params(params)
