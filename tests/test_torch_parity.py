@@ -112,6 +112,80 @@ def test_reconstruction_parity(torch_flags, fcm_kind, dsl_mode, ch_mult,
     assert err < 5e-4, f"max recon err {err}"
 
 
+@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode,disc_kind", [
+    (dict(use_gauss_resblock=True), "res", "nonpair", "conv"),
+    (dict(use_same_conv_gauss=True), "conv", "pair", "conv"),
+])
+def test_export_round_trip_and_reference_load(torch_flags, fcm_kind, dsl_mode,
+                                              disc_kind):
+    """The torch EXPORTER (utils/torch_export.py) is the converter's exact
+    inverse: export -> convert reproduces our trees bit-for-bit, and the
+    exported state_dict strict-loads into the actual reference model and
+    reproduces our reconstructions there."""
+    import dataclasses
+    import torch
+    from favae_tpu.models.quantizer import init_codebook_state
+    from favae_tpu.models.vqgan import VQGANFCM
+    from favae_tpu.utils.torch_convert import convert_favae
+    from favae_tpu.utils.torch_export import export_favae
+
+    ch_mult, attn_res = (1, 2, 4), ()
+    cfg = _jax_cfg(fcm_kind, dsl_mode, ch_mult=ch_mult,
+                   attn_resolutions=attn_res)
+    cfg = dataclasses.replace(
+        cfg, discriminator=dataclasses.replace(cfg.discriminator,
+                                               kind=disc_kind))
+
+    model = VQGANFCM(cfg, gaussian_kernel=9, dsl_init_sigma=3.0)
+    key = jax.random.PRNGKey(3)
+    cb = init_codebook_state(cfg.quantizer, key)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, dummy, cb,
+                           train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    batch_stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+
+    sd = export_favae(params, batch_stats, cb, cfg)
+
+    # --- round trip: export -> convert == identity on our trees ----------
+    params2, bs2, cb2 = convert_favae(dict(sd), cfg)
+    ref = {jax.tree_util.keystr(p): v
+           for p, v in jax.tree_util.tree_leaves_with_path(params2)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        np.testing.assert_array_equal(
+            np.asarray(leaf), ref[jax.tree_util.keystr(path)],
+            err_msg=jax.tree_util.keystr(path))
+    np.testing.assert_array_equal(np.asarray(cb.embed), cb2.embed)
+    np.testing.assert_array_equal(np.asarray(cb.cluster_size),
+                                  cb2.cluster_size)
+
+    # --- the reference model strict-loads the export ----------------------
+    tmodel = _build_reference(torch_flags, ch_mult=ch_mult,
+                              attn_resolutions=attn_res)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    missing, unexpected = tmodel.load_state_dict(tsd, strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing
+
+    # --- and reproduces our reconstructions -------------------------------
+    x = np.random.RandomState(5).rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    z_q, _, idx, _, _ = model.apply(
+        variables, jnp.asarray(x), cb, train=False, inference=True,
+        method=VQGANFCM.encode)
+    x_recon, _, _ = model.apply(variables, z_q, train=False, inference=True,
+                                method=VQGANFCM.decode)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        z_q_t, _, idx_t, _ = tmodel.encode(xt)
+        x_rec_t, _ = tmodel.decode(z_q_t)
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1),
+                                  idx_t.numpy().reshape(-1))
+    err = np.max(np.abs(np.asarray(x_recon)
+                        - x_rec_t.numpy().transpose(0, 2, 3, 1)))
+    assert err < 5e-4, f"max recon err {err}"
+
+
 def test_lpips_converter_shapes():
     """convert_lpips maps a synthetic torch-layout state dict onto the flax
     LPIPS tree and the module accepts it."""
