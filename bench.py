@@ -47,6 +47,9 @@ A100_BASELINE_IMGS_PER_SEC = 25.0
 # XLA cost analysis of this exact step (batch 16, CPU-lowered; see module
 # docstring). Scales per-image for nearby batch sizes.
 GFLOP_PER_IMAGE = 2081.0
+# same measurement with faithful_stage1_recompute=False (the FAST_STAGE1
+# row skips one E+G forward): scripts/measure_step_flops.py 16 fast
+GFLOP_PER_IMAGE_FAST = None  # filled once measured; MFU omitted until then
 V5E_BF16_PEAK_TFLOPS = 197.0
 BATCH_PER_CHIP = int(os.environ.get("FAVAE_BENCH_BATCH", "16"))
 WARMUP = 3
@@ -192,20 +195,25 @@ def main():
 
     headline = synth if synth is not None else loader_fed
     step_ms = BATCH_PER_CHIP / headline * 1e3
-    tflops = headline * GFLOP_PER_IMAGE / 1e3
+    fast = train_cfg.faithful_stage1_recompute is False
+    gflop = GFLOP_PER_IMAGE_FAST if fast else GFLOP_PER_IMAGE
     result = {
         "metric": ("imgs/sec/chip VQGAN(expe_5) train step @256px"
-                   + ("" if synth is not None else " (loader-fed)")),
+                   + ("" if synth is not None else " (loader-fed)")
+                   + (" [fast stage-1]" if fast else "")),
         "value": round(headline, 2),
         "unit": "imgs/sec/chip",
         "step_ms": round(step_ms, 1),
-        "gflop_per_image": GFLOP_PER_IMAGE,
-        "tflops": round(tflops, 1),
-        "mfu_pct": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1),
         # secondary, estimated (reference publishes no throughput numbers)
         "vs_baseline": round(headline / A100_BASELINE_IMGS_PER_SEC, 3),
         "vs_baseline_note": "estimated A100 figure; primary claim is mfu_pct",
     }
+    if gflop is not None:
+        tflops = headline * gflop / 1e3
+        result.update(
+            gflop_per_image=gflop,
+            tflops=round(tflops, 1),
+            mfu_pct=round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1))
     if loader_fed is not None and synth is not None:
         result["loader_fed"] = {
             "value": round(loader_fed, 2),

@@ -23,6 +23,10 @@ def build_parser():
     p.add_argument("--ds", type=str, required=True)
     p.add_argument("--gpt_name", type=str, default="gpt2_medium",
                    choices=["gpt2_mini", "gpt2_medium", "gpt2_large"])
+    p.add_argument("--gpt_remat", type=str, default="full",
+                   choices=["full", "dots", "none"],
+                   help="training-path remat of the GPT blocks: identical "
+                        "math, memory/compute trade (see GPTConfig.remat)")
     p.add_argument("--clip", type=str, default="vit-l-14",
                    choices=["vit-b-32", "vit-l-14"])
     p.add_argument("--dropout", type=float, default=0.1)
@@ -127,7 +131,8 @@ def main(argv=None):
         vqgan=vqgan_cfg,
         gpt=gpt_factory(vocab_size=args.codebook_size,
                         n_cond_embed=args.n_cond_embed,
-                        dropout=args.dropout),
+                        dropout=args.dropout,
+                        remat=args.gpt_remat),
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,

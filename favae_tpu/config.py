@@ -186,6 +186,13 @@ class GPTConfig:
     dropout: float = 0.1
     max_text_len: int = 128
     cond_drop_prob: float = 0.25
+    # training-path rematerialization of the scanned blocks (identical math,
+    # different memory/compute trade): "full" recomputes every block
+    # activation in the backward (lowest HBM, +1 forward of FLOPs), "dots"
+    # saves matmul outputs and recomputes only elementwise ops, "none"
+    # stashes everything (fastest, highest HBM; fits batch<=16 at
+    # gpt2_medium on one v5e chip)
+    remat: str = "full"
 
 
 def gpt2_mini(vocab_size: int, **kw) -> GPTConfig:

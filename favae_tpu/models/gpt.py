@@ -257,14 +257,24 @@ class CATBlock(nn.Module):
 
 
 def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None,
-                 remat: bool = False):
+                 remat: str = "none"):
     common = dict(variable_axes={"params": 0},
                   split_rngs={"params": True, "dropout": True},
                   length=cfg.n_layer)
     # remat on the training path: scan-over-remat recomputes block activations
     # in the backward pass instead of stashing all n_layer of them (a 24x1536
-    # stack at batch 4 alone is ~600MB per saved tensor -> HBM OOM without it)
-    target = nn.remat(CATBlock, prevent_cse=False) if remat else CATBlock
+    # stack at batch 4 alone is ~600MB per saved tensor -> HBM OOM without
+    # it). "dots" keeps the matmul outputs (the expensive recompute) and
+    # re-runs only elementwise ops — same math, ~1.5GB more HBM at batch 8.
+    if remat == "full":
+        target = nn.remat(CATBlock, prevent_cse=False)
+    elif remat == "dots":
+        target = nn.remat(CATBlock, prevent_cse=False,
+                          policy=jax.checkpoint_policies.dots_saveable)
+    elif remat == "none":
+        target = CATBlock
+    else:
+        raise ValueError(f"unknown remat policy {remat!r}")
     Scanned = nn.scan(
         target,
         methods={
@@ -303,7 +313,7 @@ class GPT(nn.Module):
 
         # one block, scanned; train/eval/decode variants share the scope
         self.blocks = _scan_blocks(c, deterministic=False, dtype=self.dtype,
-                                   name="blocks", remat=True)
+                                   name="blocks", remat=c.remat)
         self.blocks_eval = _scan_blocks(c, deterministic=True, dtype=self.dtype)
         self.blocks_decode = _scan_blocks(c, deterministic=True,
                                           dtype=self.dtype)

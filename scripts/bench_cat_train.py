@@ -43,8 +43,13 @@ ITERS = 10
 
 
 def main():
+    import dataclasses
+
     b = int(os.environ.get("B", "8"))
     cfg = cat_celebahq()
+    remat = os.environ.get("REMAT", "full")
+    cfg = dataclasses.replace(
+        cfg, gpt=dataclasses.replace(cfg.gpt, remat=remat))
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
@@ -75,6 +80,7 @@ def main():
     out = {
         "metric": "CAT gpt2_medium train step (full pipeline @256px)",
         "batch": b,
+        "remat": remat,
         "step_ms": round(dt * 1e3, 1),
         "samples_per_sec": round(samples_per_sec, 2),
         "tokens_per_sec": round(samples_per_sec * seq, 0),

@@ -13,6 +13,9 @@ CPU compile of this step takes ~10 minutes — run in the background.
 
     python scripts/measure_step_flops.py [batch]        # FA-VAE step
     python scripts/measure_step_flops.py [batch] cat    # CAT train step
+    python scripts/measure_step_flops.py [batch] fast   # FA-VAE step with
+                                          # faithful_stage1_recompute=False
+                                          # (bench.py's FAST_STAGE1 row)
 """
 
 import os
@@ -85,9 +88,11 @@ def main():
         measure_cat(batch)
         return
 
+    fast = len(sys.argv) > 2 and sys.argv[2] == "fast"
     model_cfg = celebahq_expe5()
     loss_cfg = celebahq_expe5_losses()
-    train_cfg = TrainConfig(batch_size=batch)
+    train_cfg = TrainConfig(batch_size=batch,
+                            faithful_stage1_recompute=not fast)
     state, model, tx_g, tx_d = FavaeTrainState.create(
         model_cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=1e-4)
     step = jax.jit(

@@ -142,3 +142,34 @@ def test_kv_cache_sampling_matches_no_cache(top_k, top_p, cond_scale):
     slow = _slow_sample(model, params, cfg, text, mask, rng, top_k, top_p,
                         cond_scale)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_remat_policies_same_loss_and_grads():
+    """GPTConfig.remat trades memory for compute only — loss and grads are
+    the same function for "full" (reference scan-over-remat), "dots"
+    (matmul-saving policy), and "none"."""
+    ids, text, mask = None, None, None
+    results = {}
+    for mode in ("full", "dots", "none"):
+        model, cfg = tiny_gpt(remat=mode)
+        if ids is None:
+            ids, text, mask = make_inputs(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids, text, mask,
+                            cond_drop_prob=0.0)
+
+        def loss_fn(p):
+            logits = model.apply(p, ids, text, mask, cond_drop_prob=0.0,
+                                 train=True, rng=jax.random.PRNGKey(1),
+                                 rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean(jax.nn.log_softmax(logits) ** 2)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        results[mode] = (float(loss), grads)
+
+    ref_loss, ref_grads = results["full"]
+    for mode in ("dots", "none"):
+        loss, grads = results[mode]
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            grads, ref_grads)

@@ -10,8 +10,10 @@ sigmas, codebook EMA state, BN running stats, and per-step losses/weight_d
 match. This is the test that catches silent STE-routing / EMA-order /
 blur-gradient bugs that forward-only parity cannot.
 
-perceptual_weight is 0 on both sides (the reference LPIPS needs the released
-vgg16_lpips.pt, absent in this environment); everything else is exercised.
+The perceptual branch is pinned with SYNTHETIC VGG weights shared bit-exactly
+through convert_lpips (the released vgg16_lpips.pt is egress-blocked and
+torchvision is absent, so the torch side re-enacts losses/lpips.py directly —
+the compute graph is identical either way).
 """
 
 import os
@@ -72,10 +74,75 @@ def torch_gaussian_blur(x, kernel_size, sigma):
     return torch.nn.functional.conv2d(y, kv, groups=c)
 
 
+def make_lpips_state_dict(seed=11):
+    """Synthetic reference-layout LPIPS weights (losses/lpips.py key names:
+    net.slice{s}.{idx}.{weight,bias}, lin{k}.model.1.weight). The released
+    vgg16_lpips.pt is egress-blocked; random weights exercise the identical
+    compute graph on both sides."""
+    rs = np.random.RandomState(seed)
+    slices = [(1, (0, 2), (64, 64)), (2, (5, 7), (128, 128)),
+              (3, (10, 12, 14), (256, 256, 256)),
+              (4, (17, 19, 21), (512, 512, 512)),
+              (5, (24, 26, 28), (512, 512, 512))]
+    sd = {}
+    cin = 3
+    for s, idxs, chans in slices:
+        for idx, cout in zip(idxs, chans):
+            sd[f"net.slice{s}.{idx}.weight"] = (
+                rs.randn(cout, cin, 3, 3)
+                * np.sqrt(2.0 / (cin * 9))).astype(np.float32)
+            sd[f"net.slice{s}.{idx}.bias"] = (
+                rs.randn(cout).astype(np.float32) * 0.05)
+            cin = cout
+    for k, c in enumerate([64, 128, 256, 512, 512]):
+        sd[f"lin{k}.model.1.weight"] = np.abs(
+            rs.randn(1, c, 1, 1).astype(np.float32)) * 0.1
+    return sd
+
+
+def torch_lpips(sd, x, y):
+    """Differentiable torch oracle of the reference LPIPS forward
+    (losses/lpips.py:39-52: scaling layer, 5 VGG16 feature slices,
+    F.normalize'd features, squared diff, 1x1 linear heads, spatial mean,
+    summed over slices). torchvision is unavailable here, so the VGG16
+    feature stack (conv3x3+ReLU, maxpool between slices) is re-enacted
+    directly from the state dict."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+    slices = [(1, (0, 2)), (2, (5, 7)), (3, (10, 12, 14)),
+              (4, (17, 19, 21)), (5, (24, 26, 28))]
+
+    def features(t):
+        h = (t - shift) / scale
+        outs = []
+        for s, (si, idxs) in enumerate(slices):
+            if s > 0:
+                h = F.max_pool2d(h, 2)
+            for idx in idxs:
+                h = F.relu(F.conv2d(
+                    h, torch.from_numpy(sd[f"net.slice{si}.{idx}.weight"]),
+                    torch.from_numpy(sd[f"net.slice{si}.{idx}.bias"]),
+                    padding=1))
+            outs.append(h)
+        return outs
+
+    f0, f1 = features(x), features(y)
+    val = 0.0
+    for k in range(5):
+        d = (F.normalize(f0[k], dim=1) - F.normalize(f1[k], dim=1)) ** 2
+        w = torch.from_numpy(sd[f"lin{k}.model.1.weight"])
+        val = val + F.conv2d(d, w).mean([1, 2, 3])
+    return val
+
+
 def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
                          dsl_w=DSL_W, gaussian_kernel=3, gaussian_sigma=3.0,
-                         lr=LR):
-    """Re-enact favae_scripts/train_favae.py:74-116 with pw=0, disc+ffl on."""
+                         lr=LR, pw=0.0, lpips_sd=None):
+    """Re-enact favae_scripts/train_favae.py:74-116 with disc+ffl on
+    (perceptual term included when pw > 0, train_favae.py:77-79)."""
     import torch
 
     xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
@@ -94,7 +161,9 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
         opt_g.zero_grad()
         x_recon, loss_q, logits_fake, _, enc_feats, dec_feats = tmodel(xt, stage=0)
         loss_l1 = (xt - x_recon).abs().mean()
-        loss_recon = loss_l1          # perceptual_weight = 0
+        loss_perceptual = (torch_lpips(lpips_sd, xt, x_recon).mean()
+                           if pw > 0 else torch.tensor(0.0))
+        loss_recon = loss_l1 + pw * loss_perceptual
         loss_g = loss_recon + CW * loss_q
 
         loss_disc = hinge_g(logits_fake)
@@ -141,7 +210,7 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
             loss_l1=loss_l1.item(), loss_q=loss_q.item(),
             loss_disc=loss_disc.item(), weight_d=weight_d,
             loss_ffl=loss_ffl.item(), loss_dsl=loss_dsl.item(),
-            loss_sl=loss_sl.item(),
+            loss_sl=loss_sl.item(), loss_perceptual=loss_perceptual.item(),
             loss_d=loss_d.item(), loss_g=loss_g.item(),
             x_recon=x_recon.detach().numpy().transpose(0, 2, 3, 1)))
     return logs
@@ -174,20 +243,30 @@ def _assert_tree_close(ours, ref, atol, what, mean_tol=None,
         assert gm < global_mean_tol, f"{what}: global mean|diff|={gm:.3e}"
 
 
-@pytest.mark.parametrize("torch_flags,fcm_kind,dsl_mode,dsl_w,sl_w,disc_kind", [
-    # expe_5 topology
-    (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "conv"),
-    # model-level sigmas
-    (dict(use_same_conv_gauss=True), "conv", "pair", DSL_W, 0.0, "conv"),
-    # attn-FCM decoder + SL branch active (SL must run with DSL off: the
-    # reference's in-place double reverse crashes otherwise — see
-    # _run_reference_steps)
-    (dict(use_gauss_attn=True), "attn", "nonpair", 0.0, 1.0, "conv"),
-    # PatchGAN discriminator (BN flavour) through both GAN stages
-    (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "patch"),
-])
+@pytest.mark.parametrize(
+    "torch_flags,fcm_kind,dsl_mode,dsl_w,sl_w,disc_kind,pw", [
+        # expe_5 topology
+        (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "conv",
+         0.0),
+        # model-level sigmas
+        (dict(use_same_conv_gauss=True), "conv", "pair", DSL_W, 0.0, "conv",
+         0.0),
+        # attn-FCM decoder + SL branch active (SL must run with DSL off: the
+        # reference's in-place double reverse crashes otherwise — see
+        # _run_reference_steps)
+        (dict(use_gauss_attn=True), "attn", "nonpair", 0.0, 1.0, "conv", 0.0),
+        # PatchGAN discriminator (BN flavour) through both GAN stages
+        (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "patch",
+         0.0),
+        # perceptual branch active: LPIPS forward + its gradient through the
+        # adaptive disc weight and the recon head, with synthetic VGG weights
+        # shared bit-exactly via convert_lpips (the released vgg16_lpips.pt is
+        # egress-blocked; the compute graph is identical regardless)
+        (dict(use_gauss_resblock=True), "res", "nonpair", DSL_W, 0.0, "conv",
+         1.0),
+    ])
 def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
-                           disc_kind):
+                           disc_kind, pw):
     import torch
     sys.path.insert(0, REF)
     try:
@@ -236,7 +315,7 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
                                   use_cosine_sim=True),
         discriminator=DiscriminatorConfig(kind=disc_kind, num_layers=3),
         fcm_kind=fcm_kind, dsl_mode=dsl_mode, compute_dtype="float32")
-    loss_cfg = LossConfig(perceptual_weight=0.0, codebook_weight=CW,
+    loss_cfg = LossConfig(perceptual_weight=pw, codebook_weight=CW,
                           disc_weight=DW, ffl_weight=FFL_W, dsl_weight=dsl_w,
                           sl_weight=sl_w, gaussian_kernel=3,
                           gaussian_sigma=3.0, dsl_init_sigma=1.0)
@@ -250,6 +329,11 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
     state, model, tx_g, tx_d = FavaeTrainState.create(
         cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=LR, image_size=32)
     to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    lpips_sd = None
+    if pw > 0:
+        from favae_tpu.utils.torch_convert import convert_lpips
+        lpips_sd = make_lpips_state_dict()
+        state = state.replace(lpips_params=to_j(convert_lpips(lpips_sd)))
     state = state.replace(
         params_g=to_j(params_g0), params_d=to_j(params_d0),
         batch_stats=to_j(bs0),
@@ -265,7 +349,8 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
     # ---- torch side (mutates tmodel) ----
     ref_logs = _run_reference_steps(tmodel, x_np, t_hinge_g, t_hinge_d,
                                     sl_w=sl_w, dsl_w=dsl_w, gaussian_kernel=3,
-                                    gaussian_sigma=3.0)
+                                    gaussian_sigma=3.0, pw=pw,
+                                    lpips_sd=lpips_sd)
 
     # ---- our side ----
     step = jax.jit(make_train_step(
@@ -292,6 +377,8 @@ def test_train_step_parity(torch_flags, fcm_kind, dsl_mode, dsl_w, sl_w,
             pairs.append(("loss_dsl", "loss_dsl_features"))
         if sl_w > 0:
             pairs.append(("loss_sl", "loss_sl_gauss_features"))
+        if pw > 0:
+            pairs.append(("loss_perceptual", "loss_perceptual"))
         for rk, ok in pairs:
             # weight_d is a ratio of full-graph gradient norms — the most
             # chaotic scalar; verified with lr=0 that the divergence comes
