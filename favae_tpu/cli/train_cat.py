@@ -24,7 +24,7 @@ def build_parser():
     p.add_argument("--gpt_name", type=str, default="gpt2_medium",
                    choices=["gpt2_mini", "gpt2_medium", "gpt2_large"])
     p.add_argument("--gpt_remat", type=str, default="full",
-                   choices=["full", "dots", "none"],
+                   choices=["full", "dots", "dots_nb", "none"],
                    help="training-path remat of the GPT blocks: identical "
                         "math, memory/compute trade (see GPTConfig.remat)")
     p.add_argument("--clip", type=str, default="vit-l-14",

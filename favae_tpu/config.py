@@ -189,9 +189,9 @@ class GPTConfig:
     # training-path rematerialization of the scanned blocks (identical math,
     # different memory/compute trade): "full" recomputes every block
     # activation in the backward (lowest HBM, +1 forward of FLOPs), "dots"
-    # saves matmul outputs and recomputes only elementwise ops, "none"
-    # stashes everything (fastest, highest HBM; fits batch<=16 at
-    # gpt2_medium on one v5e chip)
+    # saves matmul outputs and recomputes only elementwise ops, "dots_nb"
+    # saves Dense outputs but recomputes attention einsums, "none"
+    # stashes everything (OOMs at gpt2_medium batch 8 on one v5e chip)
     remat: str = "full"
 
 

@@ -271,6 +271,14 @@ def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None,
     elif remat == "dots":
         target = nn.remat(CATBlock, prevent_cse=False,
                           policy=jax.checkpoint_policies.dots_saveable)
+    elif remat == "dots_nb":
+        # saves Dense outputs (dot_generals without batch dims) but
+        # recomputes the attention einsums — drops the f32 (b,h,n,m)
+        # probability tensors (the largest "dots" saves) for negligible
+        # recompute at seq 257
+        target = nn.remat(
+            CATBlock, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     elif remat == "none":
         target = CATBlock
     else:

@@ -35,11 +35,41 @@ from favae_tpu.models.txt_cond import build_cat  # noqa: E402
 from favae_tpu.train.cat_step import (  # noqa: E402
     create_cat_state, make_cat_optimizer, make_cat_train_step)
 
-# scripts/measure_step_flops.py <B> cat — per-sample GFLOP at batch 8
-GFLOP_PER_SAMPLE = {8: None}  # filled after first CPU measurement; see docs
 V5E_BF16_PEAK_TFLOPS = 197.0
 WARMUP = 2
 ITERS = 10
+
+# Frozen towers (FA-VAE encode @256px + CLIP text ViT-L/14 + quantize), one
+# forward, per sample: XLA cost analysis on CPU of exactly that subgraph —
+# scan-free, so the number is exact (scripts/measure_step_flops.py 8 frozen:
+# 1.218e12 flops at batch 8 = 152.2 GFLOP/sample).
+FROZEN_GFLOP_PER_SAMPLE = float(os.environ.get("FROZEN_GFLOP", "152.2"))
+
+
+def gpt_train_gflops_per_sample(g):
+    """Analytic GPT fwd+bwd matmul FLOPs per sample (standard MFU
+    convention: model FLOPs only, remat recompute NOT counted; XLA cost
+    analysis undercounts here because it counts the nn.scan body once).
+
+    Sequence: inp = z[:, :-1] (255 ids) + start token -> n = 256 query
+    positions; self-attention keys n+1 (null kv), cross keys 77 text + null.
+    """
+    d, inner, dh = g.n_embed, g.n_head * g.dim_head, g.dim_head
+    n = g.image_encoded_dim ** 2
+    m_txt = 77
+    per_layer = (
+        # projections: self q/kv/out, cross q/out over n tokens; cross kv
+        # over the 77 text tokens; feed-forward
+        2 * n * (d * inner + d * dh + inner * d + d * inner + inner * d
+                 + 8 * d * d)
+        + 2 * m_txt * g.n_cond_embed * dh
+        # attention einsums: sim + weighted sum, q (n,heads,dh) vs shared
+        # single-head kv (m,dh)
+        + 4 * g.n_head * n * (n + 1) * dh
+        + 4 * g.n_head * n * (m_txt + 1) * dh)
+    logits = 2 * n * d * g.vocab_size
+    fwd = g.n_layer * per_layer + logits
+    return 3.0 * fwd / 1e9  # fwd + 2x bwd
 
 
 def main():
@@ -85,11 +115,14 @@ def main():
         "samples_per_sec": round(samples_per_sec, 2),
         "tokens_per_sec": round(samples_per_sec * seq, 0),
     }
-    gflop = os.environ.get("GFLOP_PER_SAMPLE")
-    if gflop:
-        tflops = samples_per_sec * float(gflop) / 1e3
-        out["tflops"] = round(tflops, 1)
-        out["mfu_pct"] = round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    gflop = (gpt_train_gflops_per_sample(cfg.gpt) + FROZEN_GFLOP_PER_SAMPLE)
+    tflops = samples_per_sec * gflop / 1e3
+    out["gflop_per_sample"] = round(gflop, 1)
+    out["tflops"] = round(tflops, 1)
+    out["mfu_pct"] = round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    out["mfu_convention"] = ("analytic model FLOPs fwd+bwd, remat recompute "
+                             "excluded; frozen towers measured via CPU cost "
+                             "analysis")
     print(json.dumps(out))
 
 

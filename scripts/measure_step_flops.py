@@ -81,11 +81,38 @@ def measure_cat(batch):
     _report(compiled, batch)
 
 
+def measure_cat_frozen(batch):
+    """Frozen-tower forward only (FA-VAE encode @256px + quantize + CLIP
+    text) — scan-free, so cost analysis is exact. Feeds the
+    FROZEN_GFLOP_PER_SAMPLE constant in scripts/bench_cat_train.py."""
+    from favae_tpu.config import cat_celebahq
+    from favae_tpu.models.txt_cond import build_cat
+
+    cfg = cat_celebahq()
+    cat, _ = build_cat(cfg, jax.random.PRNGKey(0))
+    frozen = cat.frozen_params()
+
+    def fwd(frozen, x, ids):
+        z = cat.encode_to_z(x, frozen["favae_variables"], frozen["cb_state"])
+        e, m = cat.encode_text_ids(ids, frozen["clip_params"])
+        return z, e, m
+
+    x = jnp.zeros((batch, 256, 256, 3), jnp.float32)
+    ids = jnp.zeros((batch, 77), jnp.int32)
+    print(f"lowering + compiling frozen towers on CPU (batch {batch})...",
+          flush=True)
+    compiled = jax.jit(fwd).lower(frozen, x, ids).compile()
+    _report(compiled, batch)
+
+
 def main():
     assert jax.default_backend() == "cpu", jax.default_backend()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     if len(sys.argv) > 2 and sys.argv[2] == "cat":
         measure_cat(batch)
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "frozen":
+        measure_cat_frozen(batch)
         return
 
     fast = len(sys.argv) > 2 and sys.argv[2] == "fast"

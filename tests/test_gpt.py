@@ -150,7 +150,7 @@ def test_remat_policies_same_loss_and_grads():
     (matmul-saving policy), and "none"."""
     ids, text, mask = None, None, None
     results = {}
-    for mode in ("full", "dots", "none"):
+    for mode in ("full", "dots", "dots_nb", "none"):
         model, cfg = tiny_gpt(remat=mode)
         if ids is None:
             ids, text, mask = make_inputs(cfg)
@@ -167,7 +167,7 @@ def test_remat_policies_same_loss_and_grads():
         results[mode] = (float(loss), grads)
 
     ref_loss, ref_grads = results["full"]
-    for mode in ("dots", "none"):
+    for mode in ("dots", "dots_nb", "none"):
         loss, grads = results[mode]
         np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
         jax.tree_util.tree_map(
