@@ -23,10 +23,16 @@ def build_parser():
     p.add_argument("--ds", type=str, required=True)
     p.add_argument("--gpt_name", type=str, default="gpt2_medium",
                    choices=["gpt2_mini", "gpt2_medium", "gpt2_large"])
-    p.add_argument("--gpt_remat", type=str, default="full",
+    p.add_argument("--gpt_remat", type=str, default="dots_nb",
                    choices=["full", "dots", "dots_nb", "none"],
                    help="training-path remat of the GPT blocks: identical "
-                        "math, memory/compute trade (see GPTConfig.remat)")
+                        "math, memory/compute trade (see GPTConfig.remat). "
+                        "dots_nb is fastest-that-fits at gpt2_medium "
+                        "batch<=16 on one v5e; fall back to full if OOM")
+    p.add_argument("--gpt_unroll", type=int, default=1,
+                   help="unroll factor for the training-path layer scan; "
+                        "n_layer gives ~+5%% step throughput for a ~1.5x "
+                        "longer compile (identical math)")
     p.add_argument("--clip", type=str, default="vit-l-14",
                    choices=["vit-b-32", "vit-l-14"])
     p.add_argument("--dropout", type=float, default=0.1)
@@ -132,7 +138,8 @@ def main(argv=None):
         gpt=gpt_factory(vocab_size=args.codebook_size,
                         n_cond_embed=args.n_cond_embed,
                         dropout=args.dropout,
-                        remat=args.gpt_remat),
+                        remat=args.gpt_remat,
+                        train_unroll=args.gpt_unroll),
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,

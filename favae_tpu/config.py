@@ -191,8 +191,16 @@ class GPTConfig:
     # activation in the backward (lowest HBM, +1 forward of FLOPs), "dots"
     # saves matmul outputs and recomputes only elementwise ops, "dots_nb"
     # saves Dense outputs but recomputes attention einsums, "none"
-    # stashes everything (OOMs at gpt2_medium batch 8 on one v5e chip)
-    remat: str = "full"
+    # stashes everything (OOMs at gpt2_medium batch 8 on one v5e chip).
+    # Measured at gpt2_medium batch 16 (one v5e): full 294.7 ms, dots 285.3,
+    # dots_nb 274.5 (261.1 with train_unroll=24); "full" remains the
+    # lowest-memory fallback.
+    remat: str = "dots_nb"
+    # unroll factor for the TRAINING-path layer scan (1 = rolled loop,
+    # n_layer = fully unrolled; the incremental-decode path always unrolls).
+    # Unrolling lets XLA optimize the per-layer gradient stacking statically
+    # at the cost of compile time; identical math either way.
+    train_unroll: int = 1
 
 
 def gpt2_mini(vocab_size: int, **kw) -> GPTConfig:

@@ -286,7 +286,8 @@ def _scan_blocks(cfg: GPTConfig, deterministic: bool, dtype, name=None,
     Scanned = nn.scan(
         target,
         methods={
-            "__call__": dict(in_axes=(nn.broadcast, nn.broadcast), **common),
+            "__call__": dict(in_axes=(nn.broadcast, nn.broadcast),
+                             unroll=cfg.train_unroll, **common),
             # decode fully unrolls the layer loop: the per-token body is tiny
             # (dozens of (2b, d) matmuls) and a rolled 24-iteration while loop
             # leaves the MXU idle on loop overhead; unrolled, XLA prefetches

@@ -8,10 +8,10 @@ cat_scripts/train_cat.py:69-109), state-chained timing, sync on the scalar
 loss.
 
 Reports samples/s, tokens/s (256 image tokens per sample), achieved TFLOP/s
-and MFU from the CPU-cost-analysis FLOPs constant (measure with
-`python scripts/measure_step_flops.py <batch> cat`; value below for batch 8).
+and MFU (analytic GPT fwd+bwd FLOPs + CPU-cost-analysis frozen-tower
+constant; see gpt_train_gflops_per_sample).
 
-    B=8 python scripts/bench_cat_train.py
+    B=16 REMAT=dots_nb UNROLL=24 python scripts/bench_cat_train.py
 """
 
 import json
@@ -77,9 +77,11 @@ def main():
 
     b = int(os.environ.get("B", "8"))
     cfg = cat_celebahq()
-    remat = os.environ.get("REMAT", "full")
+    remat = os.environ.get("REMAT", "dots_nb")
+    unroll = int(os.environ.get("UNROLL", "1"))
     cfg = dataclasses.replace(
-        cfg, gpt=dataclasses.replace(cfg.gpt, remat=remat))
+        cfg, gpt=dataclasses.replace(cfg.gpt, remat=remat,
+                                     train_unroll=unroll))
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
@@ -111,6 +113,7 @@ def main():
         "metric": "CAT gpt2_medium train step (full pipeline @256px)",
         "batch": b,
         "remat": remat,
+        "unroll": unroll,
         "step_ms": round(dt * 1e3, 1),
         "samples_per_sec": round(samples_per_sec, 2),
         "tokens_per_sec": round(samples_per_sec * seq, 0),

@@ -150,8 +150,13 @@ def test_remat_policies_same_loss_and_grads():
     (matmul-saving policy), and "none"."""
     ids, text, mask = None, None, None
     results = {}
-    for mode in ("full", "dots", "dots_nb", "none"):
-        model, cfg = tiny_gpt(remat=mode)
+    # (remat, train_unroll): the unrolled layer scan must also be a pure
+    # scheduling choice — same loss/grads as the rolled loop.
+    variants = {"full": ("full", 1), "dots": ("dots", 1),
+                "dots_nb": ("dots_nb", 1), "none": ("none", 1),
+                "dots_nb_unrolled": ("dots_nb", 2)}
+    for name, (mode, unroll) in variants.items():
+        model, cfg = tiny_gpt(remat=mode, train_unroll=unroll)
         if ids is None:
             ids, text, mask = make_inputs(cfg)
         params = model.init(jax.random.PRNGKey(0), ids, text, mask,
@@ -164,10 +169,10 @@ def test_remat_policies_same_loss_and_grads():
             return jnp.mean(jax.nn.log_softmax(logits) ** 2)
 
         loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
-        results[mode] = (float(loss), grads)
+        results[name] = (float(loss), grads)
 
     ref_loss, ref_grads = results["full"]
-    for mode in ("dots", "dots_nb", "none"):
+    for mode in ("dots", "dots_nb", "none", "dots_nb_unrolled"):
         loss, grads = results[mode]
         np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
         jax.tree_util.tree_map(
