@@ -144,6 +144,22 @@ def test_kv_cache_sampling_matches_no_cache(top_k, top_p, cond_scale):
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
 
 
+def test_gather_bias_mxu_matches_plain_gather_vjp():
+    """The MXU one-hot backward of the rel-pos table gather must equal the
+    plain scatter-add VJP (f32-exact up to summation order)."""
+    from favae_tpu.models.gpt import _gather_bias_mxu
+    rng = np.random.RandomState(7)
+    emb = jnp.asarray(rng.randn(25, 7).astype(np.float32))
+    sel = jnp.asarray(rng.randint(0, 25, (6, 9)), jnp.int32)
+    ct = jnp.asarray(rng.randn(6, 9, 7).astype(np.float32))
+
+    out, vjp = jax.vjp(lambda e: _gather_bias_mxu(e, sel), emb)
+    ref_out, ref_vjp = jax.vjp(lambda e: jnp.take(e, sel, axis=0), emb)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
+                               np.asarray(ref_vjp(ct)[0]), atol=1e-5)
+
+
 def test_remat_policies_same_loss_and_grads():
     """GPTConfig.remat trades memory for compute only — loss and grads are
     the same function for "full" (reference scan-over-remat), "dots"
