@@ -98,11 +98,21 @@ class CATModel:
         # reference's always-on cond drop (see CATConfig.eval_cond_drop)
         drop = (self.cfg.gpt.cond_drop_prob
                 if (train or self.cfg.eval_cond_drop) else 0.0)
+        drop_rng = None
+        if train:
+            drop_rng = jax.random.fold_in(rng, 1)
+            impl = self.cfg.gpt.dropout_rng_impl
+            if impl != "threefry":
+                # re-key the dropout stream onto the TPU hardware RNG (see
+                # GPTConfig.dropout_rng_impl); the threefry->bits bridge
+                # keeps the stream a pure function of the step rng
+                drop_rng = jax.random.wrap_key_data(
+                    jax.random.bits(drop_rng, (4,), jnp.uint32), impl=impl)
         logits = self.gpt.apply(
             {"params": gpt_params}, inp, embeds, mask,
             cond_drop_prob=drop,
             train=train, rng=rng,
-            rngs={"dropout": jax.random.fold_in(rng, 1)} if train else None)
+            rngs={"dropout": drop_rng} if train else None)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, z[..., None], axis=-1)[..., 0]
         return jnp.mean(nll)

@@ -212,6 +212,32 @@ def test_cat_train_step_and_sampling():
     assert np.asarray(grid).max() < cfg.gpt.vocab_size
 
 
+def test_dropout_rng_impl_knob():
+    """gpt_loss is deterministic in (params, rng) under both dropout PRNG
+    impls; "rbg" (TPU hardware RNG default) and "threefry" give different
+    but finite losses (different mask streams, same distribution)."""
+    import dataclasses
+    from favae_tpu.models.txt_cond import build_cat
+
+    losses = {}
+    for impl in ("rbg", "threefry"):
+        cfg = tiny_cat_cfg()
+        cfg = dataclasses.replace(
+            cfg, gpt=dataclasses.replace(cfg.gpt, dropout_rng_impl=impl))
+        cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3)
+                        .astype(np.float32) * 2 - 1)
+        ids = jnp.asarray(np.random.RandomState(1).randint(1, 50, (2, 8))
+                          .astype(np.int32))
+        fn = jax.jit(lambda p, r: cat.gpt_loss(p, x, ids, rng=r, train=True))
+        a = float(fn(gpt_params, jax.random.PRNGKey(5)))
+        b = float(fn(gpt_params, jax.random.PRNGKey(5)))
+        assert a == b, impl
+        assert np.isfinite(a)
+        losses[impl] = a
+    assert losses["rbg"] != losses["threefry"]
+
+
 def test_decay_mask_rules():
     from favae_tpu.models.gpt import GPT
     from favae_tpu.train.cat_step import decay_mask
