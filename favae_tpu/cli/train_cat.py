@@ -33,6 +33,11 @@ def build_parser():
                    help="unroll factor for the training-path layer scan; "
                         "n_layer gives ~+5%% step throughput for a ~1.5x "
                         "longer compile (identical math)")
+    p.add_argument("--dropout_rng", type=str, default="rbg",
+                   choices=["rbg", "threefry"],
+                   help="PRNG behind training dropout masks; rbg (TPU "
+                        "hardware RNG) is ~7%% faster per step, threefry "
+                        "restores the JAX-default stream")
     p.add_argument("--clip", type=str, default="vit-l-14",
                    choices=["vit-b-32", "vit-l-14"])
     p.add_argument("--dropout", type=float, default=0.1)
@@ -139,7 +144,8 @@ def main(argv=None):
                         n_cond_embed=args.n_cond_embed,
                         dropout=args.dropout,
                         remat=args.gpt_remat,
-                        train_unroll=args.gpt_unroll),
+                        train_unroll=args.gpt_unroll,
+                        dropout_rng_impl=args.dropout_rng),
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,
