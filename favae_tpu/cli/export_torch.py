@@ -5,11 +5,51 @@ weights back to the reference ecosystem (utils/torch_export.py).
 
     python -m favae_tpu.cli.export_torch --preset celebahq_expe5 \
         --orbax_ckpt output/run/best --out run_best.pt
+
+CAT checkpoints (writes the reference's {"transformer_model": ...} layout,
+cat_scripts/train_cat.py:219-226):
+
+    python -m favae_tpu.cli.export_torch --cat --orbax_ckpt output/cat/best \
+        --gpt_name gpt2_medium --codebook_size 1024 --out cat_best.pt
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def _export_cat(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from favae_tpu import config as C
+    from favae_tpu.models.gpt import GPT
+    from favae_tpu.train.cat_step import (CATTrainState, make_cat_optimizer)
+    from favae_tpu.utils.checkpoint import restore_checkpoint
+    from favae_tpu.utils.torch_export import save_cat_pt
+
+    gpt_cfg = {"gpt2_mini": C.gpt2_mini, "gpt2_medium": C.gpt2_medium,
+               "gpt2_large": C.gpt2_large}[args.gpt_name](
+        vocab_size=args.codebook_size, n_cond_embed=args.n_cond_embed)
+    cat_cfg = C.cat_celebahq()
+    gpt = GPT(gpt_cfg, dtype=jnp.float32)
+    # template tree only — one dummy token keeps the init forward trivial
+    params = gpt.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32),
+        jnp.zeros((1, 1, gpt_cfg.n_cond_embed)), jnp.ones((1, 1), bool),
+        cond_drop_prob=0.0)["params"]
+    tx = make_cat_optimizer(cat_cfg, optax.constant_schedule(0.0))
+    state = CATTrainState(gpt_params=params, opt_state=tx.init(params),
+                          step=jnp.int32(0))
+    state, meta = restore_checkpoint(args.orbax_ckpt, state)
+    save_cat_pt(args.out, state.gpt_params,
+                image_encoded_dim=gpt_cfg.image_encoded_dim,
+                n_cond_embed=gpt_cfg.n_cond_embed,
+                epoch=int(meta.get("epoch", 0)),
+                best_score=float(meta.get("best_score",
+                                          meta.get("score", np.inf))))
+    print(f"wrote reference-format CAT checkpoint -> {args.out}")
 
 
 def main(argv=None):
@@ -19,7 +59,17 @@ def main(argv=None):
                    help="favae_tpu checkpoint dir (latest/best)")
     p.add_argument("--out", type=str, required=True, help="output .pt path")
     p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--cat", action="store_true",
+                   help="export a CAT GPT checkpoint instead of FA-VAE")
+    p.add_argument("--gpt_name", type=str, default="gpt2_medium",
+                   choices=["gpt2_mini", "gpt2_medium", "gpt2_large"])
+    p.add_argument("--codebook_size", type=int, default=1024)
+    p.add_argument("--n_cond_embed", type=int, default=768)
     args = p.parse_args(argv)
+
+    if args.cat:
+        _export_cat(args)
+        return
 
     import jax
     from favae_tpu import config as C

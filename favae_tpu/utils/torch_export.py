@@ -200,3 +200,89 @@ def save_favae_pt(path: str, params, batch_stats, cb_state,
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_favae(params, batch_stats, cb_state, cfg).items()}
     torch.save({"model": sd, "epoch": epoch, "step": step}, path)
+
+
+# ---------------------------------------------------------------------------
+# CAT GPT -> reference state_dict (inverse of torch_convert.convert_cat_gpt)
+# ---------------------------------------------------------------------------
+
+def _rel_pos_indices_np(size: int) -> np.ndarray:
+    """(size^2, size^2) relative-position index buffer the reference
+    registers (models/gpt_ca.py:116-127); strict load_state_dict needs it."""
+    ar = np.arange(size)
+    pos = np.stack(np.meshgrid(ar, ar, indexing="ij"), -1).reshape(-1, 2)
+    rel = pos[:, None, :] - pos[None, :, :] + size - 1
+    return rel[..., 0] * (2 * size - 1) + rel[..., 1]
+
+
+def export_cat_gpt(params, *, image_encoded_dim: int = 16,
+                   n_cond_embed: int = 768) -> Dict[str, np.ndarray]:
+    """GPT params -> reference GPT state_dict (models/gpt_ca.py:250-282),
+    complete for a STRICT torch load: fixed-beta LayerNorm buffers, the
+    rel-pos index buffer, the tied `to_logits.weight` entry, and the dead
+    `cond_proj` weights (defined upstream at gpt_ca.py:259, never called —
+    exported as zeros)."""
+
+    def ln(prefix, p):
+        g = _np(p["ln"]["scale"])
+        return {prefix + ".gamma": g,
+                prefix + ".beta": np.zeros_like(g)}
+
+    sd: Dict[str, np.ndarray] = {}
+    tok = _np(params["tok_emb"]["embedding"])
+    sd["tok_emb.weight"] = tok
+    sd["to_logits.weight"] = tok  # tied head (gpt_ca.py:278-279)
+    sd["axial_height_pos"] = _np(params["axial_height_pos"])
+    sd["axial_width_pos"] = _np(params["axial_width_pos"])
+    sd["start_token"] = _np(params["start_token"])
+    n_embed = tok.shape[1]
+    sd["cond_proj.weight"] = np.zeros((n_embed, n_cond_embed), np.float32)
+    sd["cond_proj.bias"] = np.zeros((n_embed,), np.float32)
+    sd.update(ln("init_norm", params["init_norm"]))
+    sd.update(ln("final_norm", params["final_norm"]))
+
+    import jax
+
+    pos_idx = _rel_pos_indices_np(image_encoded_dim)
+    blocks = params["blocks"]
+    n_layer = _np(blocks["self_attn"]["null_kv"]).shape[0]
+
+    def layer(tree, i):
+        return jax.tree_util.tree_map(lambda a: _np(a)[i], tree)
+
+    for i in range(n_layer):
+        for j, branch in ((0, layer(blocks["self_attn"], i)),
+                          (1, layer(blocks["cross_attn"], i))):
+            pre = f"blocks.{i}.{j}"
+            sd.update(ln(pre + ".norm", branch["norm"]))
+            sd[pre + ".to_q.1.weight"] = branch["to_q"]["kernel"].T
+            sd[pre + ".to_kv.1.weight"] = branch["to_kv"]["kernel"].T
+            sd[pre + ".null_kv"] = branch["null_kv"]
+            sd[pre + ".to_out.1.weight"] = branch["to_out"]["kernel"].T
+            sd.update(ln(pre + ".to_out.2", branch["out_norm"]))
+            if j == 0:
+                sd[pre + ".rel_pos_bias.pos_bias.weight"] = \
+                    branch["rel_pos_bias"]["pos_bias"]["embedding"]
+                sd[pre + ".rel_pos_bias.pos_indices"] = pos_idx
+        ff = layer(blocks["ff"], i)
+        pre = f"blocks.{i}.2"
+        sd.update(ln(pre + ".0", ff["norm_in"]))
+        sd[pre + ".1.weight"] = ff["fc1"]["kernel"].T
+        sd.update(ln(pre + ".3", ff["norm_mid"]))
+        sd[pre + ".4.weight"] = ff["fc2"]["kernel"].T
+    return sd
+
+
+def save_cat_pt(path: str, params, *, image_encoded_dim: int = 16,
+                n_cond_embed: int = 768, epoch: int = 0,
+                best_score: float = float("inf"), step: int = 0) -> None:
+    """Write a reference-format CAT checkpoint
+    ({"transformer_model": sd, "epoch", "best_score", "step"} —
+    cat_scripts/train_cat.py:219-226)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_cat_gpt(
+              params, image_encoded_dim=image_encoded_dim,
+              n_cond_embed=n_cond_embed).items()}
+    torch.save({"transformer_model": sd, "epoch": epoch,
+                "best_score": best_score, "step": step}, path)

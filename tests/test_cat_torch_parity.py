@@ -143,6 +143,8 @@ class _RefGPT(torch.nn.Module):
                 _ff(n_embed),
             ]) for _ in range(n_layer)])
         self.final_norm = _LN(n_embed)
+        self.to_logits = torch.nn.Linear(n_embed, vocab_size, bias=False)
+        self.to_logits.weight = self.tok_emb.weight  # tied (gpt_ca.py:278-279)
 
     def forward(self, ids, text, mask):
         b, n = ids.shape
@@ -158,7 +160,7 @@ class _RefGPT(torch.nn.Module):
             x = ca(x, context=text, context_mask=mask) + x
             x = ff(x) + x
         x = self.final_norm(x)
-        return x @ self.tok_emb.weight.T  # tied head (gpt_ca.py:278-279)
+        return self.to_logits(x)
 
 
 def _convert(sd):
@@ -305,3 +307,38 @@ def test_cat_adamw_and_decay_groups_match_torch_on_identical_grads():
                            for k, v in ref.state_dict().items()})
     for name, pj, pt in _tree_pairs(params, ref_params):
         np.testing.assert_allclose(pj, pt, atol=1e-6, err_msg=name)
+
+
+def test_export_cat_gpt_roundtrip_and_strict_reference_load():
+    """export_cat_gpt must (1) invert convert_cat_gpt exactly and (2) emit a
+    state_dict a STRICT reference-load accepts (fixed-beta buffers, rel-pos
+    index buffer, tied to_logits.weight, dead cond_proj — gpt_ca.py:250-282)
+    whose forward matches the JAX model."""
+    from favae_tpu.utils.torch_export import export_cat_gpt
+
+    _, model, _, cfg = _build_pair()
+    z, text, mask = _inputs(cfg)
+    inp = z[:, :-1]
+    params = model.init(
+        jax.random.PRNGKey(9), jnp.asarray(inp, jnp.int32),
+        jnp.asarray(text), jnp.asarray(mask), cond_drop_prob=0.0)["params"]
+
+    sd = export_cat_gpt(params, image_encoded_dim=CFG["image_encoded_dim"],
+                        n_cond_embed=CFG["n_cond_embed"])
+    back = _convert(sd)
+    for name, a, b in _tree_pairs(params, back):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+    ref = _RefGPT(**CFG)
+    missing_unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing_unexpected.missing_keys
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(inp), torch.from_numpy(text),
+                         torch.from_numpy(mask)).numpy()
+    logits = model.apply({"params": params}, jnp.asarray(inp, jnp.int32),
+                         jnp.asarray(text), jnp.asarray(mask),
+                         cond_drop_prob=0.0)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=2e-4, rtol=1e-4)
