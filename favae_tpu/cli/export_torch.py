@@ -48,7 +48,8 @@ def _export_cat(args):
                 n_cond_embed=gpt_cfg.n_cond_embed,
                 epoch=int(meta.get("epoch", 0)),
                 best_score=float(meta.get("best_score",
-                                          meta.get("score", np.inf))))
+                                          meta.get("score", np.inf))),
+                step=int(state.step))
     print(f"wrote reference-format CAT checkpoint -> {args.out}")
 
 

@@ -78,6 +78,10 @@ def _gather_bias_mxu_fwd(emb, sel):
 def _gather_bias_mxu_bwd(res, g):
     sel, n = res
     flat = sel.reshape(-1)
+    # NOTE: the f32 one-hot is a ~252 MB transient at the training shape
+    # (65536 x 961); one is live per layer backward, so with train_unroll
+    # XLA may overlap a few. If larger batches are ever targeted, drop to
+    # bf16 (exactness is then per-product rounding) or chunk over rows.
     onehot = (flat[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
     gf = g.reshape(flat.shape[0], -1).astype(jnp.float32)
     demb = jax.lax.dot_general(onehot, gf, (((0,), (0,)), ((), ())),

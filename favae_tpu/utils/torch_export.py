@@ -208,11 +208,11 @@ def save_favae_pt(path: str, params, batch_stats, cb_state,
 
 def _rel_pos_indices_np(size: int) -> np.ndarray:
     """(size^2, size^2) relative-position index buffer the reference
-    registers (models/gpt_ca.py:116-127); strict load_state_dict needs it."""
-    ar = np.arange(size)
-    pos = np.stack(np.meshgrid(ar, ar, indexing="ij"), -1).reshape(-1, 2)
-    rel = pos[:, None, :] - pos[None, :, :] + size - 1
-    return rel[..., 0] * (2 * size - 1) + rel[..., 1]
+    registers (models/gpt_ca.py:116-127); strict load_state_dict needs it.
+    Reuses the model's own construction so the exported buffer can never
+    drift from the layout the pos_bias table was trained against."""
+    from favae_tpu.models.gpt import _rel_pos_indices
+    return _rel_pos_indices(size)
 
 
 def export_cat_gpt(params, *, image_encoded_dim: int = 16,
