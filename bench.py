@@ -49,7 +49,7 @@ A100_BASELINE_IMGS_PER_SEC = 25.0
 GFLOP_PER_IMAGE = 2081.0
 # same measurement with faithful_stage1_recompute=False (the FAST_STAGE1
 # row skips one E+G forward): scripts/measure_step_flops.py 16 fast
-GFLOP_PER_IMAGE_FAST = None  # filled once measured; MFU omitted until then
+GFLOP_PER_IMAGE_FAST = 1637.7
 V5E_BF16_PEAK_TFLOPS = 197.0
 BATCH_PER_CHIP = int(os.environ.get("FAVAE_BENCH_BATCH", "16"))
 WARMUP = 3
