@@ -38,6 +38,12 @@ def build_parser():
                    help="PRNG behind training dropout masks; rbg (TPU "
                         "hardware RNG) is ~7%% faster per step, threefry "
                         "restores the JAX-default stream")
+    p.add_argument("--adam_mu_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of Adam's first moment (optax "
+                        "mu_dtype); bfloat16 halves the mu HBM traffic of "
+                        "the optimizer phase, float32 (default) keeps the "
+                        "reference's exact AdamW dynamics")
     p.add_argument("--clip", type=str, default="vit-l-14",
                    choices=["vit-b-32", "vit-l-14"])
     p.add_argument("--dropout", type=float, default=0.1)
@@ -149,7 +155,7 @@ def main(argv=None):
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,
-        min_lr=args.min_lr)
+        min_lr=args.min_lr, adam_mu_dtype=args.adam_mu_dtype)
 
     save_path = os.path.join("output", "cat", args.ds)
     os.makedirs(save_path, exist_ok=True)

@@ -46,6 +46,7 @@ def decay_mask(params) -> Any:
 def make_cat_optimizer(cfg: CATConfig, lr_schedule) -> optax.GradientTransformation:
     return optax.adamw(
         lr_schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+        mu_dtype=jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32")),
         weight_decay=cfg.weight_decay, mask=decay_mask)
 
 

@@ -79,9 +79,11 @@ def main():
     cfg = cat_celebahq()
     remat = os.environ.get("REMAT", "dots_nb")
     unroll = int(os.environ.get("UNROLL", "1"))
+    mu_dtype = os.environ.get("MU_DTYPE", "float32")
     cfg = dataclasses.replace(
-        cfg, gpt=dataclasses.replace(cfg.gpt, remat=remat,
-                                     train_unroll=unroll))
+        cfg, adam_mu_dtype=mu_dtype,
+        gpt=dataclasses.replace(cfg.gpt, remat=remat,
+                                train_unroll=unroll))
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
@@ -127,6 +129,7 @@ def main():
         "batch": b,
         "remat": remat,
         "unroll": unroll,
+        "adam_mu_dtype": mu_dtype,
         "step_ms": round(dt * 1e3, 1),
         "samples_per_sec": round(samples_per_sec, 2),
         "tokens_per_sec": round(samples_per_sec * seq, 0),
