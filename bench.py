@@ -38,24 +38,35 @@ from favae_tpu.utils.xla_cache import enable_persistent_cache
 enable_persistent_cache()
 import jax.numpy as jnp
 
-from favae_tpu.config import TrainConfig, celebahq_expe5, celebahq_expe5_losses
+from favae_tpu.config import TrainConfig
 from favae_tpu.models.lpips import LPIPS
 from favae_tpu.train.favae_state import FavaeTrainState
 from favae_tpu.train.favae_step import make_train_step
 
 A100_BASELINE_IMGS_PER_SEC = 25.0
-# XLA cost analysis of this exact step (batch 16, CPU-lowered; see module
-# docstring). Scales per-image for nearby batch sizes.
-GFLOP_PER_IMAGE = 2081.0
+# XLA cost analysis of each preset's exact step (CPU-lowered at batch 16;
+# see module docstring / scripts/measure_step_flops.py <batch> [preset]).
+# None = not yet measured -> the bench line omits tflops/mfu for that preset.
+GFLOP_PER_IMAGE_BY_PRESET = {
+    "celebahq_expe5": 2081.0,
+    "ffhq_table1": 2078.7,    # batch 16 (same f=16 codec; pair conv-FCM DSL)
+    "imagenet_f16": 2012.5,   # batch 16 (PatchGAN n=2 is lighter than conv D)
+    "imagenet_f4": 4885.7,    # batch 8 (f=4 codec keeps 64x64 feature maps)
+}
+GFLOP_PER_IMAGE = GFLOP_PER_IMAGE_BY_PRESET["celebahq_expe5"]
 # same measurement with faithful_stage1_recompute=False (the FAST_STAGE1
 # row skips one E+G forward): scripts/measure_step_flops.py 16 fast
 GFLOP_PER_IMAGE_FAST = 1637.7
 V5E_BF16_PEAK_TFLOPS = 197.0
+# FAVAE_BENCH_PRESET: which published launch config to bench
+# (reference: favae_scripts/train_favae_other_datasets_public.sh:8-30)
+PRESET = os.environ.get("FAVAE_BENCH_PRESET", "celebahq_expe5")
 BATCH_PER_CHIP = int(os.environ.get("FAVAE_BENCH_BATCH", "16"))
 WARMUP = 3
 ITERS = 20
 # FAVAE_BENCH_MODE: "both" (default: synthetic + loader-fed in one line),
-# "synthetic", "real" (loader-fed only), "loader" (input pipeline only)
+# "synthetic", "real" (loader-fed only), "loader" (input pipeline only),
+# "cat" (CAT gpt2_medium train-step row, delegates to scripts/bench_cat_train)
 MODE = os.environ.get("FAVAE_BENCH_MODE", "both")
 
 
@@ -143,8 +154,9 @@ def main():
     n_chips = jax.device_count()
     batch = BATCH_PER_CHIP * n_chips
 
-    model_cfg = celebahq_expe5()
-    loss_cfg = celebahq_expe5_losses()
+    from favae_tpu import config as cfg_mod
+    model_cfg = cfg_mod.PRESETS[PRESET]()
+    loss_cfg = getattr(cfg_mod, PRESET + "_losses")()
     # FAVAE_BENCH_FAST_STAGE1=1: reuse the stage-0 recon for the D update
     # instead of the reference-faithful re-forward (secondary bench row;
     # see TrainConfig.faithful_stage1_recompute)
@@ -196,13 +208,17 @@ def main():
     headline = synth if synth is not None else loader_fed
     step_ms = BATCH_PER_CHIP / headline * 1e3
     fast = train_cfg.faithful_stage1_recompute is False
-    gflop = GFLOP_PER_IMAGE_FAST if fast else GFLOP_PER_IMAGE
+    gflop = (GFLOP_PER_IMAGE_FAST if fast
+             else GFLOP_PER_IMAGE_BY_PRESET[PRESET])
+    preset_tag = ("expe_5" if PRESET == "celebahq_expe5" else PRESET)
     result = {
-        "metric": ("imgs/sec/chip VQGAN(expe_5) train step @256px"
+        "metric": (f"imgs/sec/chip VQGAN({preset_tag}) train step @256px"
                    + ("" if synth is not None else " (loader-fed)")
                    + (" [fast stage-1]" if fast else "")),
         "value": round(headline, 2),
         "unit": "imgs/sec/chip",
+        "preset": PRESET,
+        "batch": BATCH_PER_CHIP,
         "step_ms": round(step_ms, 1),
         # secondary, estimated (reference publishes no throughput numbers)
         "vs_baseline": round(headline / A100_BASELINE_IMGS_PER_SEC, 3),
@@ -227,7 +243,36 @@ def main():
 
 
 if __name__ == "__main__":
-    if MODE == "loader":
-        bench_loader()
+    # The axon relay can be transiently claimed (r3 lost its driver bench
+    # artifact to this); retry the whole run on backend-init UNAVAILABLE and
+    # emit a machine-readable error line instead of a bare traceback if the
+    # relay never comes back.
+    from favae_tpu.utils.backend import (call_with_backend_retry,
+                                         is_transient_backend_error)
+    if MODE == "cat":
+        # machine-readable CAT train-step row (VERDICT r3 #7): same JSON-line
+        # contract, emitted by the sibling bench (honors B/REMAT/UNROLL/
+        # MU_DTYPE envs)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_cat_train import main as cat_main
+        target = cat_main
+    elif MODE == "loader":
+        target = bench_loader
     else:
-        main()
+        target = main
+    try:
+        call_with_backend_retry(
+            target,
+            tries=4, delay_s=90.0,
+            log=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
+    except RuntimeError as exc:
+        if not is_transient_backend_error(exc):
+            raise
+        print(json.dumps({
+            "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
+            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": "TPU backend unavailable after retries: "
+                     + str(exc).splitlines()[0],
+        }))
+        sys.exit(1)

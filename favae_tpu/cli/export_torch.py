@@ -19,6 +19,8 @@ import argparse
 
 
 def _export_cat(args):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -32,7 +34,11 @@ def _export_cat(args):
     gpt_cfg = {"gpt2_mini": C.gpt2_mini, "gpt2_medium": C.gpt2_medium,
                "gpt2_large": C.gpt2_large}[args.gpt_name](
         vocab_size=args.codebook_size, n_cond_embed=args.n_cond_embed)
-    cat_cfg = C.cat_celebahq()
+    # the restore template's opt_state mu leaves must match the dtype the
+    # checkpoint was trained with (--adam_mu_dtype bfloat16 runs have bf16
+    # mu); mirror the train_cat flag so the template agrees
+    cat_cfg = dataclasses.replace(C.cat_celebahq(),
+                                  adam_mu_dtype=args.adam_mu_dtype)
     gpt = GPT(gpt_cfg, dtype=jnp.float32)
     # template tree only — one dummy token keeps the init forward trivial
     params = gpt.init(
@@ -66,6 +72,11 @@ def main(argv=None):
                    choices=["gpt2_mini", "gpt2_medium", "gpt2_large"])
     p.add_argument("--codebook_size", type=int, default=1024)
     p.add_argument("--n_cond_embed", type=int, default=768)
+    p.add_argument("--adam_mu_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment dtype the CAT checkpoint was "
+                        "trained with (must match --adam_mu_dtype at train "
+                        "time for the Orbax restore template)")
     args = p.parse_args(argv)
 
     if args.cat:

@@ -75,17 +75,46 @@ def _gather_bias_mxu_fwd(emb, sel):
     return jnp.take(emb, sel, axis=0), (sel, emb.shape[0])
 
 
+# Per-one-hot transient budget for the matmul backward below. The transient
+# is batch-INDEPENDENT: it scales with the rel-pos grid (rows = i*(j-1) ~
+# image_encoded_dim^4, cols = (2*size-1)^2) — 65536 x 961 f32 = 252 MB at the
+# gpt2_medium training shape. The multiplicity risk is train_unroll keeping
+# several layer backwards live at once, and the size risk is a resolution
+# bump (image_encoded_dim 16->32 would be ~16 GB unchunked). Above the
+# budget the backward scans over row chunks so each one-hot stays bounded;
+# grads are identical up to f32 summation order (pinned by test).
+_ONEHOT_BYTES_BUDGET = 128 * 1024 * 1024
+
+
 def _gather_bias_mxu_bwd(res, g):
     sel, n = res
     flat = sel.reshape(-1)
-    # NOTE: the f32 one-hot is a ~252 MB transient at the training shape
-    # (65536 x 961); one is live per layer backward, so with train_unroll
-    # XLA may overlap a few. If larger batches are ever targeted, drop to
-    # bf16 (exactness is then per-product rounding) or chunk over rows.
-    onehot = (flat[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
-    gf = g.reshape(flat.shape[0], -1).astype(jnp.float32)
-    demb = jax.lax.dot_general(onehot, gf, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    rows = flat.shape[0]
+    gf = g.reshape(rows, -1).astype(jnp.float32)
+    iota = jnp.arange(n)[None, :]
+    if rows * n * 4 <= _ONEHOT_BYTES_BUDGET:
+        onehot = (flat[:, None] == iota).astype(jnp.float32)
+        demb = jax.lax.dot_general(onehot, gf, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    else:
+        chunk = max(1024, _ONEHOT_BYTES_BUDGET // (n * 4) // 1024 * 1024)
+        pad = (-rows) % chunk
+        # pad sel with n (matches nothing -> all-zero one-hot row)
+        flat_p = jnp.pad(flat, (0, pad), constant_values=n)
+        gf_p = jnp.pad(gf, ((0, pad), (0, 0)))
+        n_chunks = flat_p.shape[0] // chunk
+
+        def body(acc, xs):
+            f, gg = xs
+            oh = (f[:, None] == iota).astype(jnp.float32)
+            return acc + jax.lax.dot_general(
+                oh, gg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), None
+
+        demb, _ = jax.lax.scan(
+            body, jnp.zeros((n, gf.shape[1]), jnp.float32),
+            (flat_p.reshape(n_chunks, chunk),
+             gf_p.reshape(n_chunks, chunk, -1)))
     return demb, None
 
 

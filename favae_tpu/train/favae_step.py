@@ -46,9 +46,12 @@ def to_unit_range(x: jax.Array) -> jax.Array:
     uint8 host->device transfer is the fast loader path: the 256px batch is
     4x smaller on the wire, and this normalize reproduces the reference
     transform ((img/255 - 0.5)/0.5, datasets/general_dataloader.py:32-37)
-    exactly, fused by XLA into the first conv's prologue."""
+    bit-for-bit by using the same op sequence (divide, subtract, divide —
+    a fused x*(1/127.5)-1 differs by up to 1 ulp over the 256 inputs); XLA
+    fuses it into the first conv's prologue either way."""
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        xf = x.astype(jnp.float32) / 255.0
+        return (xf - 0.5) / 0.5
     return x.astype(jnp.float32)
 
 
@@ -132,13 +135,35 @@ def make_train_step(model: VQGANFCM, lpips_model, tx_g, tx_d,
                 mutable=False)
             diff = (outs["x_recon"], outs["enc_feats"], outs["dec_feats"],
                     outs["loss_q"])
-            return diff, (outs["cb_state"], outs["h_pre"])
+            return diff, (outs["cb_state"], outs["h_pre"], outs["indices"])
 
-        diff_out, body_vjp, (cb_state1, h_pre) = jax.vjp(
+        diff_out, body_vjp, (cb_state1, h_pre, indices0) = jax.vjp(
             stage0_body, state.params_g, has_aux=True)
         x_recon0, enc_feats, dec_feats, loss_q = diff_out
 
         aux: Dict[str, jax.Array] = dict(loss_q=loss_q)
+
+        # --- codebook health telemetry (long-horizon stability; the
+        # reference logs nothing here — usage collapse is the classic silent
+        # VQ failure mode). Batch usage/perplexity from the stage-0 code
+        # assignments; replacements from the expiry fingerprint (an expired
+        # code's EMA count is set to EXACTLY the threshold,
+        # models/quantizer.py:_expire_dead_codes). Scalars only — fetched on
+        # logging steps, free otherwise. ---
+        k_codes = model_cfg.quantizer.codebook_size
+        bins0 = jnp.zeros((k_codes,), jnp.float32).at[
+            indices0.reshape(-1)].add(1.0)
+        p_codes = bins0 / jnp.maximum(jnp.sum(bins0), 1.0)
+        aux["cb_batch_usage_pct"] = 100.0 * jnp.mean(
+            (bins0 > 0).astype(jnp.float32))
+        aux["cb_perplexity"] = jnp.exp(-jnp.sum(
+            jnp.where(p_codes > 0, p_codes * jnp.log(
+                jnp.where(p_codes > 0, p_codes, 1.0)), 0.0)))
+        thr = model_cfg.quantizer.threshold_ema_dead_code
+        if thr > 0:
+            aux["cb_replaced"] = jnp.sum(
+                (cb_state1.cluster_size == jnp.float32(thr))
+                .astype(jnp.float32))
 
         # --- recon head: L1 + perceptual, grad at x_recon ---
         def head_recon(xr):

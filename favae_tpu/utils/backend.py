@@ -1,0 +1,72 @@
+"""Transient-backend-failure hardening for bench/entry scripts.
+
+The axon TPU relay can be claimed by another process (e.g. the round
+driver's own bench capture) for minutes at a time; when that happens the
+first device op raises
+``RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE``.
+Round 3 lost its driver-captured bench artifact to exactly this — the
+bench died on a bare traceback instead of retrying (VERDICT r3 weak #2).
+
+``call_with_backend_retry`` wraps the first device-touching call: on a
+transient init failure it clears JAX's cached (failed) backend and
+retries with a fixed backoff. Anything else propagates immediately.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+# Substrings identifying a transient backend-init failure (vs a real bug).
+_TRANSIENT_MARKERS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def is_transient_backend_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return isinstance(exc, RuntimeError) and any(
+        m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _clear_backends() -> None:
+    # A failed init is cached by xla_bridge; clear it so the retry
+    # actually re-dials the relay instead of re-raising the cached error.
+    try:
+        import jax.extend.backend as _jb
+        _jb.clear_backends()
+    except Exception:
+        pass
+
+
+def call_with_backend_retry(fn: Callable[[], T], *, tries: int = 3,
+                            delay_s: float = 60.0,
+                            sleep: Callable[[float], None] = time.sleep,
+                            log: Callable[[str], None] | None = None) -> T:
+    """Run ``fn`` (the first device-touching call), retrying transient
+    backend-init failures ``tries`` times with ``delay_s`` backoff.
+
+    Non-transient exceptions propagate immediately. If every try fails
+    transiently, the last exception propagates — callers that must emit a
+    machine-readable artifact should catch it and write an ``"error"``
+    JSON line (see bench.py)."""
+    last: BaseException | None = None
+    for attempt in range(tries):
+        try:
+            return fn()
+        except RuntimeError as exc:
+            if not is_transient_backend_error(exc):
+                raise
+            last = exc
+            if log is not None:
+                log(f"backend unavailable (attempt {attempt + 1}/{tries}): "
+                    f"{str(exc).splitlines()[0]}")
+            if attempt + 1 < tries:
+                _clear_backends()
+                sleep(delay_s)
+    assert last is not None
+    raise last

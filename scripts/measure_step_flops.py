@@ -116,8 +116,15 @@ def main():
         return
 
     fast = len(sys.argv) > 2 and sys.argv[2] == "fast"
-    model_cfg = celebahq_expe5()
-    loss_cfg = celebahq_expe5_losses()
+    if len(sys.argv) > 2 and not fast:
+        # a published preset name (ffhq_table1 / imagenet_f16 / imagenet_f4):
+        # measures the GFLOP/image constant for bench.py's preset rows
+        from favae_tpu import config as cfg_mod
+        model_cfg = cfg_mod.PRESETS[sys.argv[2]]()
+        loss_cfg = getattr(cfg_mod, sys.argv[2] + "_losses")()
+    else:
+        model_cfg = celebahq_expe5()
+        loss_cfg = celebahq_expe5_losses()
     train_cfg = TrainConfig(batch_size=batch,
                             faithful_stage1_recompute=not fast)
     state, model, tx_g, tx_d = FavaeTrainState.create(

@@ -1,0 +1,110 @@
+"""bf16 Adam-mu convergence validation: f32 vs bf16 first-moment loss curves.
+
+The bf16 first moment (`CATConfig.adam_mu_dtype`) is a measured -17% CAT
+step-time win (docs/ROADMAP.md) but was kept opt-in at round 3 because its
+convergence evidence was 3 toy steps. This script runs the SAME N-step CAT
+training twice on the chip — identical init, identical data order, only
+mu_dtype differs — over a small fixed corpus the model can actually fit
+(losses decrease ~monotonically), and reports windowed loss-curve statistics
+so the default can be flipped on evidence (VERDICT r3 next-round #2a).
+
+Decision rule printed with the JSON: if the final-window mean losses differ
+by < the within-run step-to-step noise, bf16 mu is convergence-neutral at
+this horizon.
+
+    STEPS=500 B=16 python scripts/validate_mu_dtype.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from favae_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from favae_tpu.config import cat_celebahq  # noqa: E402
+from favae_tpu.models.txt_cond import build_cat  # noqa: E402
+from favae_tpu.train.cat_step import (  # noqa: E402
+    create_cat_state, make_cat_optimizer, make_cat_train_step)
+
+STEPS = int(os.environ.get("STEPS", "500"))
+B = int(os.environ.get("B", "16"))
+CORPUS = 128
+LR = 1e-4
+WINDOW = 100
+
+
+def run(mu_dtype: str) -> np.ndarray:
+    cfg = cat_celebahq()
+    cfg = dataclasses.replace(
+        cfg, adam_mu_dtype=mu_dtype,
+        gpt=dataclasses.replace(cfg.gpt, remat="dots_nb", train_unroll=24))
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    tx = make_cat_optimizer(cfg, optax.constant_schedule(LR))
+    state = create_cat_state(cat, gpt_params, tx)
+    frozen = cat.frozen_params()
+    step = jax.jit(make_cat_train_step(cat, tx), donate_argnums=0)
+
+    # fixed learnable corpus: images and captions are deterministic functions
+    # of the sample id, so the mapping is memorizable and the loss decreases
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(CORPUS, 256, 256, 3).astype(np.float32) * 2 - 1)
+    caps = rs.randint(1, 40000, (CORPUS, 77)).astype(np.int32)
+
+    losses = np.zeros(STEPS, np.float64)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        sel = (np.arange(B) + i * B) % CORPUS
+        x = jnp.asarray(imgs[sel])
+        ids = jnp.asarray(caps[sel])
+        state, m = step(state, frozen, x, ids, jax.random.PRNGKey(i))
+        losses[i] = float(m["loss_gpt"])
+        if i % 100 == 0:
+            print(f"# [{mu_dtype}] step {i} loss {losses[i]:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
+    return losses
+
+
+def main():
+    curves = {d: run(d) for d in ("float32", "bfloat16")}
+    f32, bf16 = curves["float32"], curves["bfloat16"]
+
+    def window_means(c):
+        return [round(float(c[i:i + WINDOW].mean()), 5)
+                for i in range(0, STEPS, WINDOW)]
+
+    final_f32 = f32[-WINDOW:]
+    final_bf16 = bf16[-WINDOW:]
+    # within-run noise: stdev of the per-step loss inside the final window
+    # (the corpus cycles every CORPUS/B steps, so the window covers full
+    # epochs of the fixed data)
+    noise = float(np.std(final_f32))
+    gap = float(abs(final_f32.mean() - final_bf16.mean()))
+    print(json.dumps({
+        "metric": "CAT bf16-Adam-mu convergence validation",
+        "steps": STEPS, "batch": B, "corpus": CORPUS, "lr": LR,
+        "window_means_f32": window_means(f32),
+        "window_means_bf16": window_means(bf16),
+        "final_window_gap": round(gap, 5),
+        "final_window_noise_std_f32": round(noise, 5),
+        "gap_over_noise": round(gap / max(noise, 1e-9), 3),
+        "neutral": bool(gap < noise),
+    }))
+
+
+if __name__ == "__main__":
+    from favae_tpu.utils.backend import call_with_backend_retry
+    call_with_backend_retry(main, tries=4, delay_s=90.0,
+                            log=lambda m: print(f"# {m}", file=sys.stderr,
+                                                flush=True))

@@ -1,0 +1,70 @@
+"""Transient-backend retry hardening (favae_tpu/utils/backend.py).
+
+Round-3 postmortem: bench.py died on a bare `Unable to initialize backend
+'axon': UNAVAILABLE` traceback, losing the driver-captured perf artifact.
+These tests simulate that failure mode without a TPU."""
+
+import pytest
+
+from favae_tpu.utils.backend import (call_with_backend_retry,
+                                     is_transient_backend_error)
+
+
+def _unavailable():
+    return RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+        "setup/compile error (Unavailable).")
+
+
+def test_retries_transient_then_succeeds():
+    calls, sleeps = [], []
+
+    def fn():
+        calls.append(1)
+        if len(calls) < 3:
+            raise _unavailable()
+        return "ok"
+
+    out = call_with_backend_retry(fn, tries=4, delay_s=7.0,
+                                  sleep=sleeps.append)
+    assert out == "ok"
+    assert len(calls) == 3
+    assert sleeps == [7.0, 7.0]  # no sleep after the success
+
+
+def test_exhausted_retries_raise_last_transient():
+    sleeps = []
+
+    def fn():
+        raise _unavailable()
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        call_with_backend_retry(fn, tries=3, delay_s=1.0, sleep=sleeps.append)
+    assert sleeps == [1.0, 1.0]  # tries-1 backoffs, none after the last try
+
+
+def test_non_transient_propagates_immediately():
+    calls = []
+
+    def fn():
+        calls.append(1)
+        raise RuntimeError("shape mismatch: got (3,) expected (4,)")
+
+    with pytest.raises(RuntimeError, match="shape mismatch"):
+        call_with_backend_retry(fn, tries=5, delay_s=1.0,
+                                sleep=lambda _: None)
+    assert len(calls) == 1
+
+
+def test_non_runtime_errors_propagate():
+    with pytest.raises(ValueError):
+        call_with_backend_retry(lambda: (_ for _ in ()).throw(ValueError("x")),
+                                tries=3, delay_s=1.0, sleep=lambda _: None)
+
+
+def test_classifier():
+    assert is_transient_backend_error(_unavailable())
+    assert is_transient_backend_error(
+        RuntimeError("DEADLINE_EXCEEDED: relay dial timed out"))
+    assert not is_transient_backend_error(RuntimeError("NaN in loss"))
+    assert not is_transient_backend_error(ValueError("UNAVAILABLE"))

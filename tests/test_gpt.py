@@ -160,6 +160,30 @@ def test_gather_bias_mxu_matches_plain_gather_vjp():
                                np.asarray(ref_vjp(ct)[0]), atol=1e-5)
 
 
+def test_gather_bias_mxu_chunked_bwd_matches_unchunked(monkeypatch):
+    """Above _ONEHOT_BYTES_BUDGET the backward scans over row chunks (the
+    one-hot transient is grid-sized, not batch-sized); grads must equal the
+    single-matmul path up to f32 summation order — including when the row
+    count doesn't divide the chunk (padding rows must contribute nothing)."""
+    import favae_tpu.models.gpt as gpt_mod
+    rng = np.random.RandomState(11)
+    emb = jnp.asarray(rng.randn(37, 5).astype(np.float32))
+    sel = jnp.asarray(rng.randint(0, 37, (41, 13)), jnp.int32)
+    ct = jnp.asarray(rng.randn(41, 13, 5).astype(np.float32))
+
+    def grad(budget):
+        monkeypatch.setattr(gpt_mod, "_ONEHOT_BYTES_BUDGET", budget)
+        _, vjp = jax.vjp(lambda e: gpt_mod._gather_bias_mxu(e, sel), emb)
+        return np.asarray(vjp(ct)[0])
+
+    full = grad(1 << 30)
+    # rows = 41*13 = 533; with chunk=1024 min this still pads (533 -> 1024);
+    # force several chunks via a tiny budget too
+    monkeypatch.setattr(gpt_mod, "_ONEHOT_BYTES_BUDGET", 0)
+    chunked = grad(0)
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
 def test_remat_policies_same_loss_and_grads():
     """GPTConfig.remat trades memory for compute only — loss and grads are
     the same function for "full" (reference scan-over-remat), "dots"

@@ -140,10 +140,13 @@ def torch_lpips(sd, x, y):
 
 def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
                          dsl_w=DSL_W, gaussian_kernel=3, gaussian_sigma=3.0,
-                         lr=LR, pw=0.0, lpips_sd=None):
+                         lr=LR, pw=0.0, lpips_sd=None, n_steps=None,
+                         keep_recon=True):
     """Re-enact favae_scripts/train_favae.py:74-116 with disc+ffl on
     (perceptual term included when pw > 0, train_favae.py:77-79)."""
     import torch
+    if n_steps is None:
+        n_steps = N_STEPS
 
     xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
     g_params = (list(tmodel.encoder.parameters())
@@ -157,7 +160,7 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
                              lr=lr, betas=(0.5, 0.9))
     tmodel.train()
     logs = []
-    for _ in range(N_STEPS):
+    for _ in range(n_steps):
         opt_g.zero_grad()
         x_recon, loss_q, logits_fake, _, enc_feats, dec_feats = tmodel(xt, stage=0)
         loss_l1 = (xt - x_recon).abs().mean()
@@ -212,7 +215,8 @@ def _run_reference_steps(tmodel, x_np, hinge_g, hinge_d, sl_w=0.0,
             loss_ffl=loss_ffl.item(), loss_dsl=loss_dsl.item(),
             loss_sl=loss_sl.item(), loss_perceptual=loss_perceptual.item(),
             loss_d=loss_d.item(), loss_g=loss_g.item(),
-            x_recon=x_recon.detach().numpy().transpose(0, 2, 3, 1)))
+            x_recon=(x_recon.detach().numpy().transpose(0, 2, 3, 1)
+                     if keep_recon else None)))
     return logs
 
 
@@ -588,3 +592,164 @@ def test_discriminator_grad_parity():
         d = np.max(np.abs(np.asarray(leaf, np.float64) - r))
         scale = np.abs(r).max() + 1e-12
         assert d / scale < 1e-4 or d < 1e-7, f"{key}: {d} (scale {scale})"
+
+# ---------------------------------------------------------------------------
+# Statistical trajectory parity (VERDICT r3 next-round #4): the 2-step test
+# above pins exact dynamics but stops before quantizer argmax tie-flips make
+# trajectories chaotic. This test runs ~100 steps and checks the LOSS CURVES
+# statistically: windowed means of ours-vs-torch must stay inside a noise
+# envelope measured from two torch runs whose inits differ by 1e-6 noise
+# (pure tie-flip/chaos divergence, no systematic bias). A slow systematic
+# drift — e.g. a codebook EMA decay off by 1e-3 — escapes the 2-step test but
+# shifts the windowed curves beyond this envelope; the sensitivity half of
+# the test injects exactly that bug into our quantizer and asserts the
+# envelope CATCHES it. Re-enacts favae_scripts/train_favae.py:56-116.
+# ---------------------------------------------------------------------------
+
+N_STAT = 100
+STAT_WINDOW = 25
+# metrics compared (torch log key, our metric key): recon fidelity, codebook
+# health, and the full generator objective
+_STAT_KEYS = [("loss_l1", "loss_l1"), ("loss_q", "loss_q"),
+              ("loss_g", "loss_g")]
+
+
+def _build_stat_torch_model(perturb_scale=0.0, seed=0):
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from models.vqgan_fcm import VQGANFCM as TorchVQGAN
+        torch.manual_seed(seed)
+        tmodel = TorchVQGAN(
+            64, 256, False, ch_mult=(1, 2, 4), attn_resolutions=[],
+            use_cosine_sim=True, codebook_dim=None, use_l2_quantizer=True,
+            sync_codebook=False, commitment_weight=CW, kernel_size=3,
+            dsl_init_sigma=1.0, device="cpu", num_groups=32,
+            inference=False, use_gauss_resblock=True)
+    finally:
+        sys.path.remove(REF)
+    if perturb_scale:
+        rs = np.random.RandomState(123)
+        with torch.no_grad():
+            for p in tmodel.parameters():
+                p.add_(torch.from_numpy(
+                    rs.randn(*p.shape).astype(np.float32) * perturb_scale))
+    return tmodel
+
+
+def _window_means(curve):
+    c = np.asarray(curve, np.float64)
+    return c.reshape(-1, STAT_WINDOW).mean(axis=1)
+
+
+def _run_ours_stat(sd0, x_np, decay):
+    """100 jitted steps from the torch init; returns per-step loss curves."""
+    import dataclasses
+
+    from favae_tpu.config import (CodecConfig, DiscriminatorConfig,
+                                  LossConfig, QuantizerConfig, TrainConfig,
+                                  VQGANConfig)
+    from favae_tpu.models.lpips import LPIPS
+    from favae_tpu.models.quantizer import CodebookState
+    from favae_tpu.train.favae_state import FavaeTrainState, split_params
+    from favae_tpu.train.favae_step import make_train_step
+    from favae_tpu.utils.torch_convert import convert_favae
+
+    cfg = VQGANConfig(
+        codec=CodecConfig(ch_mult=(1, 2, 4), attn_resolutions=(),
+                          resolution=256, z_channels=256),
+        quantizer=QuantizerConfig(codebook_size=64, dim=256,
+                                  use_cosine_sim=True, decay=decay),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=3),
+        fcm_kind="res", dsl_mode="nonpair", compute_dtype="float32")
+    loss_cfg = LossConfig(perceptual_weight=0.0, codebook_weight=CW,
+                          disc_weight=DW, ffl_weight=FFL_W, dsl_weight=DSL_W,
+                          sl_weight=0.0, gaussian_kernel=3, dsl_init_sigma=1.0)
+    train_cfg = TrainConfig(batch_size=2, faithful_stage1_recompute=True)
+
+    params0, bs0, cb0 = convert_favae(sd0, cfg)
+    params_g0, params_d0 = split_params(params0)
+    state, model, tx_g, tx_d = FavaeTrainState.create(
+        cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=LR, image_size=32)
+    to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    state = state.replace(
+        params_g=to_j(params_g0), params_d=to_j(params_d0),
+        batch_stats=to_j(bs0),
+        cb_state=CodebookState(embed=jnp.asarray(cb0.embed),
+                               cluster_size=jnp.asarray(cb0.cluster_size),
+                               embed_avg=jnp.asarray(cb0.embed_avg)))
+    state = state.replace(opt_g=tx_g.init(state.params_g),
+                          opt_d=tx_d.init(state.params_d))
+    step = jax.jit(make_train_step(
+        model, LPIPS(dtype=jnp.float32), tx_g, tx_d, cfg, loss_cfg, train_cfg,
+        disc_on=True, ffl_on=True))
+    x = jnp.asarray(x_np)
+    curves = {ok: np.zeros(N_STAT) for _, ok in _STAT_KEYS}
+    for i in range(N_STAT):
+        state, m = step(state, x, jax.random.PRNGKey(7))
+        for _, ok in _STAT_KEYS:
+            curves[ok][i] = float(m[ok])
+    return curves
+
+
+@pytest.mark.skipif(os.environ.get("FAVAE_STAT_PARITY", "") != "1",
+                    reason="~25 min on this 1-core box (200 torch + 200 jax "
+                           "full GAN steps); run explicitly with "
+                           "FAVAE_STAT_PARITY=1 — results recorded in "
+                           "docs/PARITY.md")
+def test_train_parity_statistical_100_steps():
+    import torch  # noqa: F401
+    sys.path.insert(0, REF)
+    try:
+        from losses.hinge import hinge_d_loss as t_hinge_d
+        from losses.hinge import hinge_g_loss as t_hinge_g
+    finally:
+        sys.path.remove(REF)
+
+    x_np = (np.random.RandomState(0).rand(2, 32, 32, 3)
+            .astype(np.float32) * 2 - 1)
+
+    # torch run A (the oracle) and run B (init + 1e-6 noise): their windowed
+    # divergence IS the tie-flip noise envelope at each horizon
+    tmodel_a = _build_stat_torch_model()
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in tmodel_a.state_dict().items()}
+    logs_a = _run_reference_steps(tmodel_a, x_np, t_hinge_g, t_hinge_d,
+                                  n_steps=N_STAT, keep_recon=False)
+    tmodel_b = _build_stat_torch_model(perturb_scale=1e-6)
+    logs_b = _run_reference_steps(tmodel_b, x_np, t_hinge_g, t_hinge_d,
+                                  n_steps=N_STAT, keep_recon=False)
+
+    ours = _run_ours_stat(sd0, x_np, decay=0.8)
+
+    report = {}
+    for rk, ok in _STAT_KEYS:
+        wa = _window_means([l[rk] for l in logs_a])
+        wb = _window_means([l[rk] for l in logs_b])
+        wo = _window_means(ours[ok])
+        # envelope: worst windowed divergence between the two torch runs,
+        # floored at 2% of the signal (fp-order differences between
+        # frameworks are real even with zero tie-flips), x3 safety
+        scale = np.abs(wa).mean() + 1e-9
+        env = max(3.0 * np.max(np.abs(wa - wb)), 0.02 * scale)
+        gap = np.max(np.abs(wo - wa))
+        report[rk] = (gap, env)
+        assert gap <= env, (
+            f"{rk}: ours-vs-torch windowed gap {gap:.5f} exceeds tie-flip "
+            f"noise envelope {env:.5f} (windows ours={wo}, torchA={wa}, "
+            f"torchB={wb}) — systematic training-dynamics drift")
+
+    # sensitivity: the envelope must CATCH a codebook EMA decay off by 1e-3
+    # (a slow systematic bug invisible to the 2-step exact test). loss_q
+    # directly measures codebook fit, so it is the detecting metric.
+    bugged = _run_ours_stat(sd0, x_np, decay=0.8 + 1e-3)
+    wa = _window_means([l["loss_q"] for l in logs_a])
+    wb = _window_means([l["loss_q"] for l in logs_b])
+    scale = np.abs(wa).mean() + 1e-9
+    env = max(3.0 * np.max(np.abs(wa - wb)), 0.02 * scale)
+    bug_gap = np.max(np.abs(_window_means(bugged["loss_q"]) - wa))
+    assert bug_gap > env, (
+        f"sensitivity check failed: injected decay+1e-3 moved loss_q windows "
+        f"by only {bug_gap:.5f} (envelope {env:.5f}) — the statistical test "
+        f"would not catch a real decay bug; clean gap was "
+        f"{report['loss_q'][0]:.5f}")

@@ -59,6 +59,16 @@ def test_train_step_runs_and_updates(fcm, dsl):
         v = float(metrics[k])
         assert np.isfinite(v), (k, v)
 
+    # codebook health telemetry (long-horizon stability monitoring): batch
+    # usage in (0, 100], perplexity in [1, K]
+    usage = float(metrics["cb_batch_usage_pct"])
+    perp = float(metrics["cb_perplexity"])
+    k_codes = model_cfg.quantizer.codebook_size
+    assert 0.0 < usage <= 100.0
+    assert 1.0 <= perp <= k_codes + 1e-3
+    # perplexity can't exceed the number of distinct codes actually used
+    assert perp <= usage / 100.0 * k_codes + 1e-3
+
     # generator params changed
     w0 = state.params_g["decoder"]["final_conv"]["kernel"]
     w1 = new_state.params_g["decoder"]["final_conv"]["kernel"]
