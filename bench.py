@@ -248,7 +248,23 @@ if __name__ == "__main__":
     # emit a machine-readable error line instead of a bare traceback if the
     # relay never comes back.
     from favae_tpu.utils.backend import (call_with_backend_retry,
-                                         is_transient_backend_error)
+                                         is_transient_backend_error,
+                                         wait_for_backend)
+
+    def _unavailable_exit(detail):
+        print(json.dumps({
+            "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
+            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": "TPU backend unavailable after retries: " + detail,
+        }))
+        sys.exit(1)
+
+    # a hung relay dial blocks in-process init forever (observed: >25 min at
+    # 0% CPU) — probe in a killable subprocess before touching the backend
+    if not wait_for_backend(
+            tries=4, delay_s=90.0, probe_timeout_s=300.0,
+            log=lambda m: print(f"# {m}", file=sys.stderr, flush=True)):
+        _unavailable_exit("init probe hung or failed on every attempt")
     if MODE == "cat":
         # machine-readable CAT train-step row (VERDICT r3 #7): same JSON-line
         # contract, emitted by the sibling bench (honors B/REMAT/UNROLL/
@@ -269,10 +285,4 @@ if __name__ == "__main__":
     except RuntimeError as exc:
         if not is_transient_backend_error(exc):
             raise
-        print(json.dumps({
-            "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
-            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
-            "error": "TPU backend unavailable after retries: "
-                     + str(exc).splitlines()[0],
-        }))
-        sys.exit(1)
+        _unavailable_exit(str(exc).splitlines()[0])

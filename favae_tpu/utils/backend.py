@@ -14,6 +14,7 @@ retries with a fixed backoff. Anything else propagates immediately.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable, TypeVar
 
@@ -41,6 +42,46 @@ def _clear_backends() -> None:
         _jb.clear_backends()
     except Exception:
         pass
+
+
+def wait_for_backend(*, tries: int = 3, delay_s: float = 60.0,
+                     probe_timeout_s: float = 300.0,
+                     sleep: Callable[[float], None] = time.sleep,
+                     log: Callable[[str], None] | None = None,
+                     runner: Callable | None = None) -> bool:
+    """Probe backend init in a SUBPROCESS until it succeeds or retries run out.
+
+    Covers the failure mode ``call_with_backend_retry`` cannot: a relay dial
+    that HANGS instead of raising (observed: init blocked >25 min at 0% CPU).
+    A hung in-process init holds the backend lock forever; a subprocess can
+    simply be killed at ``probe_timeout_s`` and re-tried. Returns True once a
+    probe exits cleanly (the relay is answering — the caller can then init
+    in-process), False when every probe hung or failed."""
+    import subprocess
+
+    if runner is None:
+        def runner(timeout):
+            return subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout, capture_output=True).returncode
+
+    for attempt in range(tries):
+        try:
+            rc = runner(probe_timeout_s)
+        except subprocess.TimeoutExpired:
+            rc = -1
+            if log is not None:
+                log(f"backend probe hung >{probe_timeout_s:.0f}s "
+                    f"(attempt {attempt + 1}/{tries})")
+        else:
+            if rc == 0:
+                return True
+            if log is not None:
+                log(f"backend probe failed rc={rc} "
+                    f"(attempt {attempt + 1}/{tries})")
+        if attempt + 1 < tries:
+            sleep(delay_s)
+    return False
 
 
 def call_with_backend_retry(fn: Callable[[], T], *, tries: int = 3,

@@ -68,3 +68,43 @@ def test_classifier():
         RuntimeError("DEADLINE_EXCEEDED: relay dial timed out"))
     assert not is_transient_backend_error(RuntimeError("NaN in loss"))
     assert not is_transient_backend_error(ValueError("UNAVAILABLE"))
+
+
+def test_wait_for_backend_hang_then_recover():
+    """A probe that hangs (TimeoutExpired) is killed and retried; a later
+    clean probe reports the relay back."""
+    import subprocess
+
+    calls, sleeps = [], []
+
+    def runner(timeout):
+        calls.append(timeout)
+        if len(calls) < 3:
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout)
+        return 0
+
+    from favae_tpu.utils.backend import wait_for_backend
+    assert wait_for_backend(tries=4, delay_s=5.0, probe_timeout_s=7.0,
+                            sleep=sleeps.append, runner=runner)
+    assert calls == [7.0, 7.0, 7.0]
+    assert sleeps == [5.0, 5.0]
+
+
+def test_wait_for_backend_exhausted():
+    import subprocess
+
+    def runner(timeout):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout)
+
+    from favae_tpu.utils.backend import wait_for_backend
+    sleeps = []
+    assert not wait_for_backend(tries=3, delay_s=1.0, sleep=sleeps.append,
+                                runner=runner)
+    assert sleeps == [1.0, 1.0]
+
+
+def test_wait_for_backend_nonzero_rc_retries():
+    from favae_tpu.utils.backend import wait_for_backend
+    rcs = iter([1, 0])
+    assert wait_for_backend(tries=2, delay_s=0.0, sleep=lambda _: None,
+                            runner=lambda t: next(rcs))
