@@ -597,13 +597,21 @@ def test_discriminator_grad_parity():
 # Statistical trajectory parity (VERDICT r3 next-round #4): the 2-step test
 # above pins exact dynamics but stops before quantizer argmax tie-flips make
 # trajectories chaotic. This test runs ~100 steps and checks the LOSS CURVES
-# statistically: windowed means of ours-vs-torch must stay inside a noise
-# envelope measured from two torch runs whose inits differ by 1e-6 noise
-# (pure tie-flip/chaos divergence, no systematic bias). A slow systematic
-# drift — e.g. a codebook EMA decay off by 1e-3 — escapes the 2-step test but
-# shifts the windowed curves beyond this envelope; the sensitivity half of
-# the test injects exactly that bug into our quantizer and asserts the
-# envelope CATCHES it. Re-enacts favae_scripts/train_favae.py:56-116.
+# statistically: windowed means of ours-vs-torch must stay inside a chaos
+# envelope measured from a torch run with a 1e-3-perturbed init.
+#
+# Calibration (measured, curves in docs/PARITY.md): the GAN train loop at
+# this scale is CHAOTIC — windowed loss_g divergence is ~0.03-0.08 for ANY
+# small perturbation (torch-vs-torch at 1e-6..1e-3 init noise), and our
+# continuous framework fp differences produce ~1.4x the 1e-3-perturbation
+# envelope. A decay+1e-3 injected bug lands INSIDE this chaos floor —
+# loop-level loss curves cannot detect it; that sensitivity lives in
+# test_quantizer_ema_trajectory_100_steps below, where trajectories are
+# deterministic and the same bug gives a 10^6 signal-to-noise margin. The
+# sensitivity half HERE injects a grosser systematic bug (lr scaled 1.5x)
+# and asserts the envelope catches it — the class of drift (wrong lr / loss
+# weight / schedule) this loop-level instrument is actually good for.
+# Re-enacts favae_scripts/train_favae.py:56-116.
 # ---------------------------------------------------------------------------
 
 N_STAT = 100
@@ -642,7 +650,7 @@ def _window_means(curve):
     return c.reshape(-1, STAT_WINDOW).mean(axis=1)
 
 
-def _run_ours_stat(sd0, x_np, decay):
+def _run_ours_stat(sd0, x_np, decay, lr_scale=1.0):
     """100 jitted steps from the torch init; returns per-step loss curves."""
     import dataclasses
 
@@ -670,7 +678,8 @@ def _run_ours_stat(sd0, x_np, decay):
     params0, bs0, cb0 = convert_favae(sd0, cfg)
     params_g0, params_d0 = split_params(params0)
     state, model, tx_g, tx_d = FavaeTrainState.create(
-        cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=LR, image_size=32)
+        cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=LR * lr_scale,
+        image_size=32)
     to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     state = state.replace(
         params_g=to_j(params_g0), params_d=to_j(params_d0),
@@ -709,47 +718,141 @@ def test_train_parity_statistical_100_steps():
     x_np = (np.random.RandomState(0).rand(2, 32, 32, 3)
             .astype(np.float32) * 2 - 1)
 
-    # torch run A (the oracle) and run B (init + 1e-6 noise): their windowed
-    # divergence IS the tie-flip noise envelope at each horizon
+    # torch run A (the oracle) and run B (init + 1e-3 noise): their windowed
+    # divergence measures the loop's chaos amplification of a small
+    # perturbation at each horizon. 1e-3 (not smaller) because a one-time
+    # tiny perturbation underestimates the CONTINUOUS fp perturbation a
+    # different framework applies every op (measured: ours lands at ~1.4x
+    # the 1e-3 envelope, ~4x the 1e-6 one).
     tmodel_a = _build_stat_torch_model()
     sd0 = {k: v.detach().numpy().copy()
            for k, v in tmodel_a.state_dict().items()}
     logs_a = _run_reference_steps(tmodel_a, x_np, t_hinge_g, t_hinge_d,
                                   n_steps=N_STAT, keep_recon=False)
-    tmodel_b = _build_stat_torch_model(perturb_scale=1e-6)
+    tmodel_b = _build_stat_torch_model(perturb_scale=1e-3)
     logs_b = _run_reference_steps(tmodel_b, x_np, t_hinge_g, t_hinge_d,
                                   n_steps=N_STAT, keep_recon=False)
 
     ours = _run_ours_stat(sd0, x_np, decay=0.8)
+
+    def envelope(wa, wb):
+        # x3 safety over the measured chaos response, floored at 5% of the
+        # signal (measured clean gaps: l1 1.5x, q 2.0x, g 1.7x the B3 env)
+        scale = np.abs(wa).mean() + 1e-9
+        return max(3.0 * np.max(np.abs(wa - wb)), 0.05 * scale)
 
     report = {}
     for rk, ok in _STAT_KEYS:
         wa = _window_means([l[rk] for l in logs_a])
         wb = _window_means([l[rk] for l in logs_b])
         wo = _window_means(ours[ok])
-        # envelope: worst windowed divergence between the two torch runs,
-        # floored at 2% of the signal (fp-order differences between
-        # frameworks are real even with zero tie-flips), x3 safety
-        scale = np.abs(wa).mean() + 1e-9
-        env = max(3.0 * np.max(np.abs(wa - wb)), 0.02 * scale)
+        env = envelope(wa, wb)
         gap = np.max(np.abs(wo - wa))
         report[rk] = (gap, env)
         assert gap <= env, (
-            f"{rk}: ours-vs-torch windowed gap {gap:.5f} exceeds tie-flip "
-            f"noise envelope {env:.5f} (windows ours={wo}, torchA={wa}, "
+            f"{rk}: ours-vs-torch windowed gap {gap:.5f} exceeds chaos "
+            f"envelope {env:.5f} (windows ours={wo}, torchA={wa}, "
             f"torchB={wb}) — systematic training-dynamics drift")
 
-    # sensitivity: the envelope must CATCH a codebook EMA decay off by 1e-3
-    # (a slow systematic bug invisible to the 2-step exact test). loss_q
-    # directly measures codebook fit, so it is the detecting metric.
-    bugged = _run_ours_stat(sd0, x_np, decay=0.8 + 1e-3)
-    wa = _window_means([l["loss_q"] for l in logs_a])
-    wb = _window_means([l["loss_q"] for l in logs_b])
-    scale = np.abs(wa).mean() + 1e-9
-    env = max(3.0 * np.max(np.abs(wa - wb)), 0.02 * scale)
-    bug_gap = np.max(np.abs(_window_means(bugged["loss_q"]) - wa))
-    assert bug_gap > env, (
-        f"sensitivity check failed: injected decay+1e-3 moved loss_q windows "
-        f"by only {bug_gap:.5f} (envelope {env:.5f}) — the statistical test "
-        f"would not catch a real decay bug; clean gap was "
-        f"{report['loss_q'][0]:.5f}")
+    # sensitivity: the envelope must catch a GROSS systematic bug — lr
+    # misapplied by 1.5x (the wrong-lr/wrong-loss-weight class this
+    # instrument exists for; subtler bugs like decay+1e-3 are below the
+    # loop's chaos floor and are covered by the deterministic
+    # test_quantizer_ema_trajectory_100_steps).
+    bugged = _run_ours_stat(sd0, x_np, decay=0.8, lr_scale=1.5)
+    hits = []
+    for rk, ok in _STAT_KEYS:
+        wa = _window_means([l[rk] for l in logs_a])
+        wb = _window_means([l[rk] for l in logs_b])
+        gap = np.max(np.abs(_window_means(bugged[ok]) - wa))
+        hits.append(gap > envelope(wa, wb))
+    assert any(hits), (
+        f"sensitivity check failed: lr*1.5 stayed inside the envelope on "
+        f"every metric (clean report: {report})")
+
+
+@pytest.mark.parametrize("cosine", [True, False])
+def test_quantizer_ema_trajectory_100_steps(cosine):
+    """Direct 100-step EMA trajectory vs the reference quantizer
+    (models/l2_quantize.py): the instrument that catches slow systematic
+    codebook drift — e.g. a decay off by 1e-3 — which loop-level loss curves
+    CANNOT catch (measured: the full train loop's windowed loss curves are
+    chaotic with a ~0.05-0.15 noise floor under ANY small perturbation, and
+    an injected decay+1e-3 run lands inside it; see
+    test_train_parity_statistical_100_steps / docs/PARITY.md).
+
+    Both sides are deterministic on the same input stream and stay LOCKED to
+    fp noise (measured mean |dembed| ~9e-9, |dcluster| ~2e-7 over 100 steps,
+    zero argmax tie-flips), while decay+1e-3 compounds through assignment
+    feedback to mean |dcluster| ~0.56 by step 100 — a 10^6 signal-to-noise
+    margin."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from models.l2_quantize import VectorQuantize as TVQ
+        torch.manual_seed(0)
+        tvq = TVQ(dim=8, codebook_size=32, use_cosine_sim=cosine, decay=0.8,
+                  commitment_weight=1.0).train()
+    finally:
+        sys.path.remove(REF)
+
+    from favae_tpu.config import QuantizerConfig
+    from favae_tpu.models.quantizer import CodebookState, codebook_lookup
+
+    K, D, N, STEPS = 32, 8, 128, 100
+    embed0 = tvq._codebook.embed.detach().numpy().reshape(K, D).copy()
+
+    def stream(t):
+        return np.random.RandomState(1000 + t).randn(N, D).astype(np.float32)
+
+    checkpoints = (24, 49, 99)
+    traj_torch = {}
+    for t in range(STEPS):
+        with torch.no_grad():
+            tvq(torch.from_numpy(stream(t)[None]))
+        if t in checkpoints:
+            traj_torch[t] = (
+                tvq._codebook.embed.detach().numpy().reshape(K, D).copy(),
+                tvq._codebook.cluster_size.detach().numpy().reshape(-1).copy())
+
+    def run_ours(decay):
+        # the vendored reference's EuclideanCodebook has the stale-embed_avg
+        # bug (it EMA-updates embed directly from per-batch means instead of
+        # the smoothed embed_avg/cluster ratio); trajectory parity with the
+        # REFERENCE therefore needs compat_stale_embed_avg=True (our default
+        # False is the corrected algorithm — a deliberate divergence, see
+        # models/quantizer.py:238-257)
+        cfg = QuantizerConfig(codebook_size=K, dim=D, use_cosine_sim=cosine,
+                              decay=decay,
+                              compat_stale_embed_avg=not cosine)
+        st = CodebookState(embed=jnp.asarray(embed0),
+                           cluster_size=jnp.zeros((K,), jnp.float32),
+                           embed_avg=jnp.asarray(embed0.copy()))
+        out = {}
+        for t in range(STEPS):
+            _, _, st = codebook_lookup(cfg, st, jnp.asarray(stream(t)),
+                                       train=True)
+            if t in checkpoints:
+                out[t] = (np.asarray(st.embed), np.asarray(st.cluster_size))
+        return out
+
+    # measured locked-trajectory noise: cosine emb ~9e-9 / cluster ~2e-7;
+    # euclidean emb ~2.3e-5 (unnormalized embed magnitudes) / cluster ~1e-7
+    emb_tol = 1e-6 if cosine else 1e-4
+    ours = run_ours(0.8)
+    for t in checkpoints:
+        te, tc = traj_torch[t]
+        oe, oc = ours[t]
+        assert np.abs(oe - te).mean() < emb_tol, \
+            f"t={t}: embed drift {np.abs(oe - te).mean():.2e}"
+        assert np.abs(oc - tc).mean() < 1e-5, \
+            f"t={t}: cluster_size drift {np.abs(oc - tc).mean():.2e}"
+
+    # sensitivity: decay off by 1e-3 must be unmistakable by step 100
+    # (measured: cosine cluster 0.56 / emb 1.8e-1; euclidean 0.18 / 7.8e-4)
+    bug = run_ours(0.8 + 1e-3)
+    be, bc = bug[99]
+    te, tc = traj_torch[99]
+    assert np.abs(bc - tc).mean() > 1e-2, "decay bug not detected (cluster)"
+    assert np.abs(be - te).mean() > 2 * emb_tol, \
+        "decay bug not detected (embed)"
