@@ -30,9 +30,12 @@ VGG_SLICES: List[List[int]] = [
 ]
 LPIPS_CHANNELS = [64, 128, 256, 512, 512]
 
-# ImageNet-vs-[-1,1] shift/scale (reference: losses/lpips.py:55-62)
-_SHIFT = jnp.asarray([-0.030, -0.088, -0.188], jnp.float32)
-_SCALE = jnp.asarray([0.458, 0.448, 0.450], jnp.float32)
+# ImageNet-vs-[-1,1] shift/scale (reference: losses/lpips.py:55-62).
+# Plain tuples, NOT jnp arrays: a module-level jnp constant is a device op at
+# import time, which dials the TPU relay before any caller's backend
+# probing/retry can run (this import crashed bench.py during a relay outage).
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
 
 
 class VGG16Features(nn.Module):
@@ -59,7 +62,9 @@ class VGG16Features(nn.Module):
 
 
 def _scale_in(t):
-    return (t.astype(jnp.float32) - _SHIFT) / _SCALE
+    shift = jnp.asarray(_SHIFT, jnp.float32)
+    scale = jnp.asarray(_SCALE, jnp.float32)
+    return (t.astype(jnp.float32) - shift) / scale
 
 
 def _unit_norm(t, eps=1e-10):

@@ -108,3 +108,38 @@ def test_wait_for_backend_nonzero_rc_retries():
     rcs = iter([1, 0])
     assert wait_for_backend(tries=2, delay_s=0.0, sleep=lambda _: None,
                             runner=lambda t: next(rcs))
+
+
+def test_no_import_time_device_ops():
+    """Importing any favae_tpu module must not touch the backend: a
+    module-level jnp constant dials the TPU relay at import, crashing
+    bench/entry BEFORE their backend probing can run (this bit lpips.py
+    during the r4 relay outage)."""
+    import importlib
+    import pkgutil
+
+    import jax._src.xla_bridge as xb
+
+    import favae_tpu
+
+    calls = []
+    orig = xb.get_backend
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    xb.get_backend = spy
+    try:
+        for m in pkgutil.walk_packages(favae_tpu.__path__,
+                                       favae_tpu.__name__ + "."):
+            before = len(calls)
+            try:
+                mod = importlib.import_module(m.name)
+                importlib.reload(mod)
+            except ImportError:
+                continue  # optional deps (e.g. PIL-less environments)
+            assert len(calls) == before, \
+                f"{m.name} touches the backend at import time"
+    finally:
+        xb.get_backend = orig
