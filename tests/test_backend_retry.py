@@ -114,32 +114,47 @@ def test_no_import_time_device_ops():
     """Importing any favae_tpu module must not touch the backend: a
     module-level jnp constant dials the TPU relay at import, crashing
     bench/entry BEFORE their backend probing can run (this bit lpips.py
-    during the r4 relay outage)."""
-    import importlib
-    import pkgutil
+    during the r4 relay outage).
 
-    import jax._src.xla_bridge as xb
+    Runs in a FRESH subprocess: in-process importlib.reload would replace
+    class objects under the rest of the suite (breaking e.g. process-pool
+    pickling of PklImageDataset), and already-imported modules would not
+    re-execute their top level."""
+    import os
+    import subprocess
+    import sys
 
-    import favae_tpu
-
-    calls = []
-    orig = xb.get_backend
-
-    def spy(*a, **k):
-        calls.append(a)
-        return orig(*a, **k)
-
-    xb.get_backend = spy
+    script = r"""
+import importlib, pkgutil, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as xb
+calls = []
+orig = xb.get_backend
+def spy(*a, **k):
+    calls.append(a)
+    return orig(*a, **k)
+xb.get_backend = spy
+import favae_tpu
+bad = []
+for m in pkgutil.walk_packages(favae_tpu.__path__, favae_tpu.__name__ + "."):
+    before = len(calls)
     try:
-        for m in pkgutil.walk_packages(favae_tpu.__path__,
-                                       favae_tpu.__name__ + "."):
-            before = len(calls)
-            try:
-                mod = importlib.import_module(m.name)
-                importlib.reload(mod)
-            except ImportError:
-                continue  # optional deps (e.g. PIL-less environments)
-            assert len(calls) == before, \
-                f"{m.name} touches the backend at import time"
-    finally:
-        xb.get_backend = orig
+        importlib.import_module(m.name)
+    except ImportError:
+        continue  # optional deps
+    if len(calls) > before:
+        bad.append(m.name)
+xb.get_backend = orig
+if bad:
+    print("BACKEND-AT-IMPORT:" + ",".join(bad))
+    sys.exit(1)
+print("CLEAN")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0 and "CLEAN" in out.stdout, (
+        f"import-time backend use detected: {out.stdout} {out.stderr[-500:]}")

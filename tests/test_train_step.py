@@ -194,3 +194,42 @@ def test_eval_step_sharded_metrics_are_global():
     out_1 = ev(state, jnp.asarray(x_np))
     for k in ("loss_l1", "loss_perceptual", "loss_recon"):
         assert abs(float(out_sh[k]) - float(out_1[k])) < 1e-4, k
+
+
+def test_train_step_projection_quantizer_f4_style():
+    """imagenet_f4-shaped path at tiny scale (reference launch:
+    favae_scripts/train_favae_other_datasets_public.sh:24-30): z_channels 3
+    feeding a PROJECTION quantizer (dim 3 -> codebook_dim 32), conv-FCM +
+    pairwise DSL, narrow GroupNorm (num_groups=3 on the FCM block). Pins the
+    full train step (both GAN stages + EMA in projected space) before the
+    real-chip f4 bench exercises it at scale."""
+    model_cfg = VQGANConfig(
+        codec=CodecConfig(base_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), resolution=32, z_channels=3,
+                          num_groups=3),
+        quantizer=QuantizerConfig(codebook_size=64, dim=3, codebook_dim=32,
+                                  use_cosine_sim=True),
+        discriminator=DiscriminatorConfig(kind="conv", num_layers=2),
+        fcm_kind=FCM_CONV, dsl_mode=DSL_PAIR, compute_dtype="float32")
+    loss_cfg = tiny_losses()
+    state, model, lpips, step = build(model_cfg, loss_cfg,
+                                      disc_on=True, ffl_on=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 32, 32, 3)
+                    .astype(np.float32) * 2 - 1)
+    step = jax.jit(step)
+    s1, m1 = step(state, x, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, x, jax.random.PRNGKey(2))
+    for mm in (m1, m2):
+        for k in ("loss_g", "loss_l1", "loss_q", "loss_d", "weight_d",
+                  "loss_dsl_features"):
+            assert np.isfinite(float(mm[k])), (k, float(mm[k]))
+    # codebook EMA moved in PROJECTED space (codebook_dim wide)
+    assert s2.cb_state.embed.shape == (64, 32)
+    assert not np.allclose(np.asarray(s2.cb_state.embed),
+                           np.asarray(state.cb_state.embed))
+    # projection params updated
+    w0 = state.params_g["quantizer"]
+    w2 = s2.params_g["quantizer"]
+    leaves0 = jax.tree_util.tree_leaves(w0)
+    leaves2 = jax.tree_util.tree_leaves(w2)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves2))
