@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-4 chip work queue — strictly serial (one TPU process at a time;
+# one CPU core). Fire when the relay probe (utils/backend.wait_for_backend
+# or scripts alike) reports the TPU back. Logs land in /tmp/r4_chip/.
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+L=/tmp/r4_chip
+run() {
+  name=$1; shift
+  echo "=== $name start $(date +%H:%M:%S)" | tee -a $L/queue.log
+  "$@" > $L/$name.log 2>&1
+  echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a $L/queue.log
+}
+
+# 1. canonical bench (expe5, synthetic + loader-fed) — also the /verify drive
+run bench_expe5 timeout 2400 python bench.py
+
+# 2. undriven presets (VERDICT #1). f16 first (Pallas VQ at K=16384).
+run bench_imagenet_f16 env FAVAE_BENCH_PRESET=imagenet_f16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
+run bench_ffhq_table1 env FAVAE_BENCH_PRESET=ffhq_table1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
+run bench_imagenet_f4 env FAVAE_BENCH_PRESET=imagenet_f4 FAVAE_BENCH_MODE=synthetic FAVAE_BENCH_BATCH=8 timeout 3000 python bench.py
+
+# 3. bf16 Adam-mu convergence validation, 500 steps x2 (VERDICT #2a)
+run validate_mu timeout 3600 env STEPS=500 B=16 python scripts/validate_mu_dtype.py
+
+# 4. CAT bench rows (VERDICT #2b + #7): f32 row, bf16 row, bf16 B=24
+run cat_b16_f32 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=float32 timeout 2400 python bench.py
+run cat_b16_bf16 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
+run cat_b24_bf16 env FAVAE_BENCH_MODE=cat B=24 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
+
+echo "QUEUE PHASE 1 DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
+
+# 5. long-horizon stability drive (VERDICT #3): 1.5k steps loader-fed
+run long_horizon env STEPS=1500 BATCH=16 timeout 3600 python scripts/long_horizon_drive.py
+
+# 6. real-vocab CAT end-to-end (VERDICT #6): train on captioned corpus with
+# the reference BPE vocab, then generate from the checkpoint
+run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
+  --ds r4_realvocab \
+  --train_file /root/.cache/favae_cat_corpus/train_w_cap.pkl \
+  --val_file /root/.cache/favae_cat_corpus/val_w_cap.pkl \
+  --bpe_vocab /root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz \
+  --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
+  --txt_tok_cond --batch_size 8 --epochs 25 --num_workers 4 \
+  --print_steps 8 --img_steps 200
+echo "QUEUE ALL DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
