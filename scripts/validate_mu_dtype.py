@@ -104,7 +104,11 @@ def main():
 
 
 if __name__ == "__main__":
-    from favae_tpu.utils.backend import call_with_backend_retry
-    call_with_backend_retry(main, tries=4, delay_s=90.0,
-                            log=lambda m: print(f"# {m}", file=sys.stderr,
-                                                flush=True))
+    from favae_tpu.utils.backend import (call_with_backend_retry,
+                                         wait_for_backend)
+    _log = lambda m: print(f"# {m}", file=sys.stderr, flush=True)
+    if not wait_for_backend(tries=4, delay_s=90.0, log=_log):
+        print(json.dumps({"metric": "CAT bf16-Adam-mu convergence validation",
+                          "error": "TPU backend unavailable"}))
+        sys.exit(1)
+    call_with_backend_retry(main, tries=4, delay_s=90.0, log=_log)
