@@ -252,8 +252,10 @@ if __name__ == "__main__":
                                          wait_for_backend)
 
     def _unavailable_exit(detail):
+        tag = ("CAT gpt2_medium" if MODE == "cat"
+               else f"VQGAN({'expe_5' if PRESET == 'celebahq_expe5' else PRESET})")
         print(json.dumps({
-            "metric": "imgs/sec/chip VQGAN(expe_5) train step @256px",
+            "metric": f"imgs/sec/chip {tag} train step @256px",
             "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
             "error": "TPU backend unavailable after retries: " + detail,
         }))
