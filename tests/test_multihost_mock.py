@@ -147,3 +147,37 @@ def test_shard_batch_single_process_plain_device_put(monkeypatch):
     x = np.ones((8, 2, 2, 3), np.float32)
     out = mesh_mod.shard_batch(x, mesh)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@pytest.mark.parametrize("var", ["JAX_COORDINATOR_ADDRESS",
+                                 "MEGASCALE_COORDINATOR_ADDRESS"])
+def test_maybe_initialize_distributed_under_launcher(monkeypatch, var):
+    """Under a multi-host launcher env the CLIs call
+    jax.distributed.initialize() exactly once; a raising initialize (already
+    initialized / misconfigured) degrades to single-host instead of
+    crashing the trainer (parallel/mesh.py:65-75)."""
+    from favae_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setenv(var, "10.0.0.1:8476")
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1]
+
+    def boom(*a, **k):
+        raise RuntimeError("distributed already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    mesh_mod.maybe_initialize_distributed()  # must not raise
+
+
+def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
+    from favae_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: pytest.fail(
+                            "single host must not initialize jax.distributed"))
+    mesh_mod.maybe_initialize_distributed()
