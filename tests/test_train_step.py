@@ -233,3 +233,25 @@ def test_train_step_projection_quantizer_f4_style():
     leaves0 = jax.tree_util.tree_leaves(w0)
     leaves2 = jax.tree_util.tree_leaves(w2)
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves2))
+
+
+def test_train_step_dead_code_replacement_telemetry():
+    """With dead-code expiry enabled the step reports cb_replaced (count of
+    codes whose EMA count was reset to EXACTLY the threshold this step —
+    models/quantizer.py:_expire_dead_codes fingerprint). Fresh zero
+    cluster_size means every code starts below threshold -> first step
+    replaces plenty."""
+    import dataclasses
+    model_cfg = tiny_cfg()
+    model_cfg = dataclasses.replace(
+        model_cfg, quantizer=dataclasses.replace(
+            model_cfg.quantizer, threshold_ema_dead_code=0.5))
+    state, model, lpips, step = build(model_cfg, tiny_losses(),
+                                      disc_on=False, ffl_on=False)
+    x = jnp.asarray(np.random.RandomState(3).rand(8, 32, 32, 3)
+                    .astype(np.float32) * 2 - 1)
+    _, m = jax.jit(step)(state, x, jax.random.PRNGKey(1))
+    assert "cb_replaced" in m
+    v = float(m["cb_replaced"])
+    assert np.isfinite(v) and 0 <= v <= model_cfg.quantizer.codebook_size
+    assert v > 0  # zero-initialized EMA counts -> expiry must fire
