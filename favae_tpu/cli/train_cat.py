@@ -38,6 +38,11 @@ def build_parser():
                    help="PRNG behind training dropout masks; rbg (TPU "
                         "hardware RNG) is ~7%% faster per step, threefry "
                         "restores the JAX-default stream")
+    p.add_argument("--fold_ln_scale", action="store_true",
+                   help="fold each pre-projection LayerNorm scale into the "
+                        "projection kernel (same function of the same "
+                        "params; turns activation-sized LN-scale grad "
+                        "reductions into weight-sized ones)")
     p.add_argument("--adam_mu_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="storage dtype of Adam's first moment (optax "
@@ -151,7 +156,8 @@ def main(argv=None):
                         dropout=args.dropout,
                         remat=args.gpt_remat,
                         train_unroll=args.gpt_unroll,
-                        dropout_rng_impl=args.dropout_rng),
+                        dropout_rng_impl=args.dropout_rng,
+                        fold_ln_scale=args.fold_ln_scale),
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,

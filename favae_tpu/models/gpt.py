@@ -38,14 +38,65 @@ from favae_tpu.config import GPTConfig
 NEG_INF = -1e9  # large negative in place of -finfo.max (bf16-safe)
 
 
-class FixedBetaLayerNorm(nn.Module):
-    """LayerNorm with learned scale, zero (non-learned) bias
-    (reference: models/gpt_ca.py:102-109)."""
+class _ScaleParam(nn.Module):
+    """Bare LayerNorm scale parameter. Named "ln" with param "scale" so the
+    param tree is IDENTICAL to nn.LayerNorm's — fold/unfold checkpoints are
+    interchangeable."""
+
+    features: int
 
     @nn.compact
-    def __call__(self, x):
-        return nn.LayerNorm(use_bias=False, use_scale=True, epsilon=1e-5,
-                            dtype=jnp.float32, name="ln")(x)
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones_init(),
+                          (self.features,))
+
+
+class FixedBetaLayerNorm(nn.Module):
+    """LayerNorm with learned scale, zero (non-learned) bias
+    (reference: models/gpt_ca.py:102-109).
+
+    With fold=True (GPTConfig.fold_ln_scale) the scale param still lives at
+    the same tree path, but `__call__(x, return_parts=True)` hands the
+    UNscaled normalized activations plus the scale to the caller, which
+    folds the scale into the following projection kernel — turning the
+    scale's activation-sized gradient reduction into a weight-sized one."""
+
+    fold: bool = False
+
+    @nn.compact
+    def __call__(self, x, return_parts: bool = False):
+        if not self.fold:
+            assert not return_parts
+            return nn.LayerNorm(use_bias=False, use_scale=True, epsilon=1e-5,
+                                dtype=jnp.float32, name="ln")(x)
+        scale = _ScaleParam(x.shape[-1], name="ln")()
+        # same computation as nn.LayerNorm(use_fast_variance=True, eps=1e-5)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mean), 0.0)
+        xh = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        if return_parts:
+            return xh, scale
+        return xh * scale
+
+
+class ScaledDense(nn.Module):
+    """nn.Dense(use_bias=False) with an optional per-input-feature scale
+    folded into the kernel: y = x @ (scale[:, None] * kernel). Param name
+    and init match nn.Dense, so the tree is interchangeable."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, scale=None):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        if scale is not None:
+            kernel = scale[:, None] * kernel
+        return x.astype(self.dtype) @ kernel.astype(self.dtype)
 
 
 def _rel_pos_indices(size: int) -> np.ndarray:
@@ -160,12 +211,19 @@ class MultiQueryAttention(nn.Module):
     dropout: float = 0.0
     rel_pos_size: Optional[int] = None  # enables RelPosBias2d
     dtype: Any = jnp.bfloat16
+    fold_ln_scale: bool = False
 
     def setup(self):
         inner = self.heads * self.dim_head
-        self.norm = FixedBetaLayerNorm()
-        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
-        self.to_kv = nn.Dense(self.dim_head, use_bias=False, dtype=self.dtype)
+        self.norm = FixedBetaLayerNorm(fold=self.fold_ln_scale)
+        if self.fold_ln_scale:
+            # same param paths as nn.Dense; scale folded at call sites
+            self.to_q = ScaledDense(inner, dtype=self.dtype)
+            self.to_kv = ScaledDense(self.dim_head, dtype=self.dtype)
+        else:
+            self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+            self.to_kv = nn.Dense(self.dim_head, use_bias=False,
+                                  dtype=self.dtype)
         self.null_kv = self.param("null_kv", nn.initializers.normal(1.0),
                                   (self.dim_head,))
         self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)
@@ -205,17 +263,28 @@ class MultiQueryAttention(nn.Module):
 
     def __call__(self, x, *, context=None, context_mask=None,
                  deterministic: bool = True):
-        x_n = self.norm(x).astype(self.dtype)
+        if self.fold_ln_scale:
+            # fold the LN scale into the projection kernels: dropout is a
+            # per-element mask multiply, so drop(x_hat*g) == drop(x_hat)*g
+            # and the fold is exact up to where bf16 rounding lands
+            x_n, g = self.norm(x, return_parts=True)
+            q_scale, kv_scale = g, (g if context is None else None)
+        else:
+            x_n = self.norm(x).astype(self.dtype)
+            q_scale = kv_scale = None
         x_q = (self.drop_q(x_n, deterministic=deterministic)
                if self.dropout > 0.0 else x_n)
-        q = self.to_q(x_q) * (self.dim_head ** -0.5)
+        q = (self.to_q(x_q, q_scale) if self.fold_ln_scale
+             else self.to_q(x_q)) * (self.dim_head ** -0.5)
         b, n, _ = q.shape
         q = q.reshape(b, n, self.heads, self.dim_head)
 
-        ctx = x_n if context is None else context.astype(self.dtype)
+        ctx = x_n if context is None else context.astype(
+            jnp.float32 if self.fold_ln_scale else self.dtype)
         if self.dropout > 0.0:
             ctx = self.drop_kv(ctx, deterministic=deterministic)
-        kv = self.to_kv(ctx)  # (b, m, dim_head) single head
+        kv = (self.to_kv(ctx, kv_scale) if self.fold_ln_scale
+              else self.to_kv(ctx))  # (b, m, dim_head) single head
 
         rel_bias = None
         if self.rel_pos_size is not None:
@@ -267,9 +336,20 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Any = jnp.bfloat16
+    fold_ln_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fold_ln_scale:
+            h, g1 = FixedBetaLayerNorm(fold=True, name="norm_in")(
+                x, return_parts=True)
+            h = ScaledDense(self.dim * self.mult, dtype=self.dtype,
+                            name="fc1")(h, g1)
+            h = nn.gelu(h, approximate=False)
+            h, g2 = FixedBetaLayerNorm(fold=True, name="norm_mid")(
+                h, return_parts=True)
+            h = ScaledDense(self.dim, dtype=self.dtype, name="fc2")(h, g2)
+            return h.astype(x.dtype)
         h = FixedBetaLayerNorm(name="norm_in")(x).astype(self.dtype)
         h = nn.Dense(self.dim * self.mult, use_bias=False, dtype=self.dtype,
                      name="fc1")(h)
@@ -290,14 +370,15 @@ class CATBlock(nn.Module):
 
     def setup(self):
         c = self.cfg
+        fold = getattr(c, "fold_ln_scale", False)
         self.self_attn = MultiQueryAttention(
             c.n_embed, c.n_head, c.dim_head, causal=True,
             rel_pos_size=c.image_encoded_dim, dropout=c.dropout,
-            dtype=self.dtype)
+            dtype=self.dtype, fold_ln_scale=fold)
         self.cross_attn = MultiQueryAttention(
             c.n_embed, c.n_head, c.dim_head, causal=False,
-            dropout=c.dropout, dtype=self.dtype)
-        self.ff = FeedForward(c.n_embed, dtype=self.dtype)
+            dropout=c.dropout, dtype=self.dtype, fold_ln_scale=fold)
+        self.ff = FeedForward(c.n_embed, dtype=self.dtype, fold_ln_scale=fold)
 
     def __call__(self, x, context, context_mask):
         det = self.deterministic

@@ -80,10 +80,12 @@ def main():
     remat = os.environ.get("REMAT", "dots_nb")
     unroll = int(os.environ.get("UNROLL", "1"))
     mu_dtype = os.environ.get("MU_DTYPE", "float32")
+    fold_ln = os.environ.get("FOLD_LN", "0") == "1"
     cfg = dataclasses.replace(
         cfg, adam_mu_dtype=mu_dtype,
         gpt=dataclasses.replace(cfg.gpt, remat=remat,
-                                train_unroll=unroll))
+                                train_unroll=unroll,
+                                fold_ln_scale=fold_ln))
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
@@ -130,6 +132,7 @@ def main():
         "remat": remat,
         "unroll": unroll,
         "adam_mu_dtype": mu_dtype,
+        "fold_ln_scale": fold_ln,
         "step_ms": round(dt * 1e3, 1),
         "samples_per_sec": round(samples_per_sec, 2),
         "tokens_per_sec": round(samples_per_sec * seq, 0),

@@ -27,6 +27,7 @@ run validate_mu timeout 3600 env STEPS=500 B=16 python scripts/validate_mu_dtype
 run cat_b16_f32 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=float32 timeout 2400 python bench.py
 run cat_b16_bf16 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
 run cat_b24_bf16 env FAVAE_BENCH_MODE=cat B=24 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
+run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
 
 echo "QUEUE PHASE 1 DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
 

@@ -218,3 +218,71 @@ def test_remat_policies_same_loss_and_grads():
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
             grads, ref_grads)
+
+
+def test_fold_ln_scale_same_tree_and_close_loss_grads():
+    """GPTConfig.fold_ln_scale reparameterizes (gamma * x_hat) @ W as
+    x_hat @ (gamma[:,None] * W) — the SAME function of the SAME param tree
+    (checkpoints interchangeable; init bit-identical), differing only in
+    where bf16 rounding lands. Loss and grads must agree to bf16 noise."""
+    import dataclasses
+
+    from favae_tpu.config import GPTConfig
+    from favae_tpu.models.gpt import GPT
+
+    base = GPTConfig(vocab_size=32, n_layer=2, n_embed=64, n_head=4,
+                     dim_head=16, image_encoded_dim=4, n_cond_embed=24,
+                     dropout=0.1, max_text_len=8, remat="dots_nb",
+                     dropout_rng_impl="threefry")
+    rng = jax.random.PRNGKey(0)
+    b, n, m = 2, 15, 8
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 32, (b, n)))
+    ctx = jnp.asarray(np.random.RandomState(1).randn(b, m, 24), jnp.float32)
+    mask = jnp.ones((b, m), bool)
+    tgt = jnp.asarray(np.random.RandomState(2).randint(0, 32, (b, n + 1)))
+
+    def build(fold):
+        cfg = dataclasses.replace(base, fold_ln_scale=fold)
+        model = GPT(cfg, dtype=jnp.bfloat16)
+        params = model.init({"params": jax.random.PRNGKey(3),
+                             "dropout": jax.random.PRNGKey(4)},
+                            ids, ctx, mask, cond_drop_prob=0.0)["params"]
+        return model, params
+
+    m_off, p_off = build(False)
+    m_on, p_on = build(True)
+
+    # identical param trees (paths AND values: same initializers, same rng)
+    flat_off = {jax.tree_util.keystr(k): v for k, v
+                in jax.tree_util.tree_leaves_with_path(p_off)}
+    flat_on = {jax.tree_util.keystr(k): v for k, v
+               in jax.tree_util.tree_leaves_with_path(p_on)}
+    assert flat_off.keys() == flat_on.keys()
+    for k in flat_off:
+        np.testing.assert_array_equal(np.asarray(flat_off[k]),
+                                      np.asarray(flat_on[k]), err_msg=k)
+
+    def loss_fn(model):
+        def f(params):
+            logits = model.apply(
+                {"params": params}, ids, ctx, mask, cond_drop_prob=0.25,
+                train=True, rng=jax.random.PRNGKey(7),
+                rngs={"dropout": jax.random.PRNGKey(9)})
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None],
+                                                 axis=-1))
+        return f
+
+    l_off, g_off = jax.value_and_grad(loss_fn(m_off))(p_off)
+    l_on, g_on = jax.value_and_grad(loss_fn(m_on))(p_on)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=2e-2)
+    for k in flat_off:
+        a = np.asarray({jax.tree_util.keystr(p): v for p, v
+                        in jax.tree_util.tree_leaves_with_path(g_off)}[k],
+                       np.float64)
+        bb = np.asarray({jax.tree_util.keystr(p): v for p, v
+                         in jax.tree_util.tree_leaves_with_path(g_on)}[k],
+                        np.float64)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - bb).max() / scale < 0.06, \
+            (k, np.abs(a - bb).max(), scale)
