@@ -44,4 +44,8 @@ run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
   --txt_tok_cond --batch_size 8 --epochs 25 --num_workers 4 \
   --print_steps 8 --img_steps 200
+# 7. serving sampler refresh (bf16 + int8 engine rows)
+run cat_sampling_b4 env B=4 timeout 1800 python scripts/bench_cat_sampling.py
+run cat_sampling_b16 env B=16 timeout 1800 python scripts/bench_cat_sampling.py
+
 echo "QUEUE ALL DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
