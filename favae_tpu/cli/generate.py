@@ -19,6 +19,28 @@ import numpy as np
 import jax
 
 
+def resolve_cfg(codebook_size: int, embed_dim: int, gpt_name: str):
+    """cat_celebahq with the checkpoint-shape knobs applied: codebook size /
+    embed dim feed both the quantizer and the GPT vocab; gpt_name must match
+    the trained --gpt_name (cli/train_cat.py) or the restore template won't
+    line up."""
+    import dataclasses
+    from favae_tpu import config as C
+
+    cfg = C.cat_celebahq()
+    if (codebook_size, embed_dim, gpt_name) == (1024, 256, "gpt2_medium"):
+        return cfg
+    gpt_factory = {"gpt2_mini": C.gpt2_mini, "gpt2_medium": C.gpt2_medium,
+                   "gpt2_large": C.gpt2_large}[gpt_name]
+    vqgan = dataclasses.replace(
+        cfg.vqgan, quantizer=dataclasses.replace(
+            cfg.vqgan.quantizer, codebook_size=codebook_size, dim=embed_dim))
+    return C.CATConfig(
+        vqgan=vqgan, clip=cfg.clip,
+        gpt=gpt_factory(vocab_size=codebook_size,
+                        n_cond_embed=cfg.gpt.n_cond_embed))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="CAT text-to-image generation")
     p.add_argument("--ckpt", type=str, default=None,
@@ -42,6 +64,10 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="samples.npz")
     p.add_argument("--codebook_size", type=int, default=1024)
     p.add_argument("--embed_dim", type=int, default=256)
+    p.add_argument("--gpt_name", type=str, default="gpt2_medium",
+                   choices=["gpt2_mini", "gpt2_medium", "gpt2_large"],
+                   help="must match the --gpt_name the checkpoint was "
+                        "trained with (cli/train_cat.py)")
     args = p.parse_args(argv)
 
     from favae_tpu.utils.xla_cache import enable_persistent_cache
@@ -50,11 +76,7 @@ def main(argv=None):
     from favae_tpu.models.clip_text import BPETokenizer
     from favae_tpu.models.txt_cond import build_cat
 
-    cfg = C.cat_celebahq()
-    if args.codebook_size != 1024:
-        cfg = C.CATConfig(
-            vqgan=cfg.vqgan, clip=cfg.clip,
-            gpt=C.gpt2_medium(vocab_size=args.codebook_size))
+    cfg = resolve_cfg(args.codebook_size, args.embed_dim, args.gpt_name)
 
     favae_variables = cb_state = clip_params = None
     if args.favae_ckpt:

@@ -14,6 +14,9 @@ run() {
 
 # 1. canonical bench (expe5, synthetic + loader-fed) — also the /verify drive
 run bench_expe5 timeout 2400 python bench.py
+# 1b. stage-1 reuse fast path (opt-in; skips the reference-faithful D-step
+# re-forward — see TrainConfig.faithful_stage1_recompute)
+run bench_expe5_fast env FAVAE_BENCH_FAST_STAGE1=1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 
 # 2. undriven presets (VERDICT #1). f16 first (Pallas VQ at K=16384).
 run bench_imagenet_f16 env FAVAE_BENCH_PRESET=imagenet_f16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
@@ -44,6 +47,14 @@ run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
   --txt_tok_cond --batch_size 8 --epochs 25 --num_workers 4 \
   --print_steps 8 --img_steps 200
+# 6b. generate from the just-trained real-vocab checkpoint (VERDICT #6's
+# done-criterion: caption-conditioned sampling from a real-vocab chip run)
+run cat_realvocab_generate timeout 1800 python -m favae_tpu.cli.generate \
+  --ckpt output/cat/r4_realvocab/latest \
+  --bpe_vocab /root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz \
+  --prompt "a smiling young woman with long brown hair" \
+  --prompt "a man wearing glasses" \
+  --n 2 --out /tmp/r4_chip/realvocab_samples.npz
 # 7. serving sampler refresh (bf16 + int8 engine rows)
 run cat_sampling_b4 env B=4 timeout 1800 python scripts/bench_cat_sampling.py
 run cat_sampling_b16 env B=16 timeout 1800 python scripts/bench_cat_sampling.py

@@ -444,3 +444,59 @@ def test_cat_trainer_fit_real_vocab_caption_manifest(tmp_path):
     assert np.isfinite(tr.last_train_loss if hasattr(tr, "last_train_loss")
                        else 0.0)
     assert os.path.isdir(tmp_path / "run")
+
+
+def test_generate_cli_end_to_end(tmp_path, monkeypatch):
+    """cli/generate round-trip at tiny scale: save a CAT checkpoint the way
+    the trainer does, then drive the full generate CLI (Orbax restore via
+    template, synthetic-merges tokenize, CFG sampling, npz/png dump). Pins
+    the exact path the chip queue runs right after the real-vocab CAT train
+    (scripts/r4_chip_queue.sh step 6b); the reference has no standalone
+    generator at all (sampling only inside cat_scripts/train_cat.py:102-107)."""
+    import optax
+    from favae_tpu import config as C
+    from favae_tpu.cli import generate as gen_cli
+    from favae_tpu.models.txt_cond import build_cat
+    from favae_tpu.train.cat_step import create_cat_state, make_cat_optimizer
+    from favae_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cat_cfg()
+    monkeypatch.setattr(C, "cat_celebahq", lambda: cfg)
+
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
+    state = create_cat_state(cat, gpt_params, tx)
+    ckpt = tmp_path / "latest"
+    save_checkpoint(str(ckpt), state, {"epoch": 0, "best_score": 1.0})
+
+    out = tmp_path / "samples.npz"
+    gen_cli.main(["--ckpt", str(ckpt),
+                  "--prompt", "a smiling face", "--prompt", "glasses",
+                  "--n", "2", "--top_k", "8", "--seed", "3",
+                  "--out", str(out)])
+
+    data = np.load(out, allow_pickle=True)
+    d = cfg.gpt.image_encoded_dim
+    assert data["images"].shape == (4, 16, 16, 3)
+    assert data["tokens"].shape == (4, d, d)
+    assert data["images"].min() >= 0.0 and data["images"].max() <= 1.0
+    assert data["tokens"].max() < cfg.gpt.vocab_size
+    assert list(data["prompts"]) == ["a smiling face", "a smiling face",
+                                     "glasses", "glasses"]
+
+
+def test_generate_cli_resolve_cfg():
+    """The non-default knobs reshape the quantizer AND the GPT consistently
+    (a vocab/codebook mismatch would sample tokens the decoder can't look
+    up)."""
+    from favae_tpu.cli.generate import resolve_cfg
+
+    base = resolve_cfg(1024, 256, "gpt2_medium")
+    assert base.gpt.vocab_size == base.vqgan.quantizer.codebook_size == 1024
+
+    cfg = resolve_cfg(8192, 3, "gpt2_mini")
+    assert cfg.vqgan.quantizer.codebook_size == 8192
+    assert cfg.vqgan.quantizer.dim == 3
+    assert cfg.gpt.vocab_size == 8192
+    assert cfg.gpt.n_head == 24  # gpt2_mini, not medium
+    assert cfg.gpt.n_cond_embed == base.gpt.n_cond_embed
