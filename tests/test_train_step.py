@@ -255,3 +255,55 @@ def test_train_step_dead_code_replacement_telemetry():
     v = float(m["cb_replaced"])
     assert np.isfinite(v) and 0 <= v <= model_cfg.quantizer.codebook_size
     assert v > 0  # zero-initialized EMA counts -> expiry must fire
+
+
+def test_train_step_fast_stage1_reuse():
+    """faithful_stage1_recompute=False — the opt-in fast path the chip queue
+    benches as FAVAE_BENCH_FAST_STAGE1 (skips the reference-faithful D-step
+    re-forward of the updated generator, train_favae.py:109-116). Pins its
+    semantics against the faithful step from identical init/batch/rng:
+    stage-0 losses match, the codebook EMA advances once per step instead of
+    twice, and the fast variant still trains G and D over 3 steps."""
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 32, 32, 3)
+                    .astype(np.float32) * 2 - 1)
+
+    results = {}
+    for faithful in (True, False):
+        train_cfg = TrainConfig(batch_size=8,
+                                faithful_stage1_recompute=faithful)
+        state, model, tx_g, tx_d = FavaeTrainState.create(
+            model_cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=1e-4)
+        lpips = LPIPS(dtype=jnp.float32)
+        step = jax.jit(make_train_step(model, lpips, tx_g, tx_d, model_cfg,
+                                       loss_cfg, train_cfg,
+                                       disc_on=True, ffl_on=True))
+        s1, m1 = step(state, x, jax.random.PRNGKey(1))
+        results[faithful] = (state, s1, m1)
+        if not faithful:
+            # keeps training: 3 steps on a fixed batch, all finite, D moves
+            s, losses_d = s1, [float(m1["loss_d"])]
+            for i in range(2):
+                s, m = step(s, x, jax.random.PRNGKey(2 + i))
+                for k in ("loss_g", "loss_l1", "loss_d", "weight_d"):
+                    assert np.isfinite(float(m[k])), (k, float(m[k]))
+                losses_d.append(float(m["loss_d"]))
+            d0 = jax.tree_util.tree_leaves(state.params_d)[0]
+            d1 = jax.tree_util.tree_leaves(s.params_d)[0]
+            assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+    (_, s_f, m_f) = results[True]
+    (_, s_r, m_r) = results[False]
+    # stage 0 is the same computation in both variants
+    for k in ("loss_g", "loss_l1", "loss_q", "loss_disc", "weight_d"):
+        np.testing.assert_allclose(float(m_f[k]), float(m_r[k]), rtol=1e-5,
+                                   err_msg=k)
+    # faithful runs the quantizer twice per step (second EMA advance under
+    # the updated generator); fast runs it once
+    assert not np.allclose(np.asarray(s_f.cb_state.cluster_size),
+                           np.asarray(s_r.cb_state.cluster_size))
+    # D sees a different recon (updated-G re-forward vs stage-0 reuse), so
+    # its first update differs
+    df = jax.tree_util.tree_leaves(s_f.params_d)[0]
+    dr = jax.tree_util.tree_leaves(s_r.params_d)[0]
+    assert not np.allclose(np.asarray(df), np.asarray(dr))
