@@ -12,6 +12,19 @@ run() {
   echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a $L/queue.log
 }
 
+# Preserve whatever ran into the repo so results survive even if no builder
+# session is alive when the queue finishes (or is cut off mid-run): copy the
+# logs under docs/data/r4_chip/ and commit. Called after each phase and from
+# an EXIT trap so a timeout/kill still lands a partial capture.
+preserve() {
+  mkdir -p /root/repo/docs/data/r4_chip
+  cp -f $L/*.log /root/repo/docs/data/r4_chip/ 2>/dev/null
+  cp -f $L/*.json $L/*.npz /root/repo/docs/data/r4_chip/ 2>/dev/null
+  ( cd /root/repo && git add docs/data/r4_chip >/dev/null 2>&1; \
+    git commit --quiet -m "Capture r4 chip-queue logs" -- docs/data/r4_chip ) || true
+}
+trap preserve EXIT
+
 # 1. canonical bench (expe5, synthetic + loader-fed) — also the /verify drive
 run bench_expe5 timeout 2400 python bench.py
 # 1b. stage-1 reuse fast path (opt-in; skips the reference-faithful D-step
@@ -33,6 +46,7 @@ run cat_b24_bf16 env FAVAE_BENCH_MODE=cat B=24 REMAT=dots_nb UNROLL=24 MU_DTYPE=
 run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
 
 echo "QUEUE PHASE 1 DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
+preserve
 
 # 5. long-horizon stability drive (VERDICT #3): 1.5k steps loader-fed
 run long_horizon env STEPS=1500 BATCH=16 timeout 3600 python scripts/long_horizon_drive.py
@@ -60,3 +74,4 @@ run cat_sampling_b4 env B=4 timeout 1800 python scripts/bench_cat_sampling.py
 run cat_sampling_b16 env B=16 timeout 1800 python scripts/bench_cat_sampling.py
 
 echo "QUEUE ALL DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
+preserve
