@@ -163,7 +163,10 @@ def main():
     train_cfg = TrainConfig(
         batch_size=BATCH_PER_CHIP,
         faithful_stage1_recompute=(
-            os.environ.get("FAVAE_BENCH_FAST_STAGE1", "0") != "1"))
+            os.environ.get("FAVAE_BENCH_FAST_STAGE1", "0") != "1"),
+        # FAVAE_BENCH_MU_DTYPE=bfloat16: bf16 Adam first moment (expected
+        # ~1% at 63.9% MFU; see TrainConfig.adam_mu_dtype)
+        adam_mu_dtype=os.environ.get("FAVAE_BENCH_MU_DTYPE", "float32"))
     lr = train_cfg.base_lr * BATCH_PER_CHIP * n_chips
 
     state, model, tx_g, tx_d = FavaeTrainState.create(

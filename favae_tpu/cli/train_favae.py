@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_steps", type=int, default=10)
     p.add_argument("--img_steps", type=int, default=100)
     p.add_argument("--base_lr", type=float, default=2.0e-6)
+    p.add_argument("--adam_mu_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment storage dtype for both optimizers "
+                        "(bfloat16 halves mu traffic; float32 keeps "
+                        "reference-exact dynamics)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--resume_path", type=str, default=None,
                    help="explicit checkpoint to resume/warm-start from: an "
@@ -187,7 +192,7 @@ def config_from_args(args):
     train_cfg = C.TrainConfig(
         batch_size=args.batch_size, base_lr=args.base_lr, epochs=args.epochs,
         save_every_epoch=args.save_every_epoch, print_steps=args.print_steps,
-        img_steps=args.img_steps)
+        img_steps=args.img_steps, adam_mu_dtype=args.adam_mu_dtype)
     return model_cfg, loss_cfg, train_cfg
 
 

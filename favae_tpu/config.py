@@ -170,6 +170,12 @@ class TrainConfig:
     # like the reference (train_favae.py:105-113). False reuses the stage-0 recon
     # (one fewer E+G forward per step; slightly different D inputs).
     faithful_stage1_recompute: bool = True
+    # Adam first-moment storage dtype (optax mu_dtype) for BOTH optimizers.
+    # "float32" keeps reference-exact dynamics; "bfloat16" halves mu traffic
+    # (a measured -17% step-time win on the CAT side, see
+    # CATConfig.adam_mu_dtype — expected ~1% here since the FA-VAE step is
+    # compute-bound at 63.9% MFU). Opt-in until chip-measured.
+    adam_mu_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,13 +45,22 @@ def make_generator_tx(train_cfg: TrainConfig, lr: float) -> optax.GradientTransf
             lambda path, _: "sigma" if (path and getattr(path[0], "key", None) == "sigmas")
             else "main", params)
 
-    main = optax.adam(lr, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
-    sigma = optax.adam(train_cfg.sigma_lr, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+    mu = _mu_dtype(train_cfg)
+    main = optax.adam(lr, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2,
+                      mu_dtype=mu)
+    sigma = optax.adam(train_cfg.sigma_lr, b1=train_cfg.adam_b1,
+                       b2=train_cfg.adam_b2, mu_dtype=mu)
     return optax.multi_transform({"main": main, "sigma": sigma}, label_fn)
 
 
+def _mu_dtype(train_cfg: TrainConfig):
+    import jax.numpy as jnp
+    return jnp.dtype(getattr(train_cfg, "adam_mu_dtype", "float32"))
+
+
 def make_discriminator_tx(train_cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
-    return optax.adam(lr, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+    return optax.adam(lr, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2,
+                      mu_dtype=_mu_dtype(train_cfg))
 
 
 class FavaeTrainState(struct.PyTreeNode):

@@ -114,3 +114,23 @@ def test_preset_gate_flags_override():
     assert loss_over.ffl_start_epochs == 3
     assert loss_default.disc_start_epochs == 1  # preset value preserved
     assert loss_default.ffl_start_epochs == 0
+
+
+def test_bench_preset_contract():
+    """Every preset bench.py can be pointed at (FAVAE_BENCH_PRESET) must
+    resolve in config.py: a PRESETS entry, a <name>_losses factory, and a
+    measured GFLOP/image constant — a broken name would crash the one-shot
+    driver bench artifact (bench.py:158-159,212)."""
+    import os
+    import sys
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from favae_tpu import config as cfg_mod
+
+    for preset in bench.GFLOP_PER_IMAGE_BY_PRESET:
+        assert preset in cfg_mod.PRESETS, preset
+        model_cfg = cfg_mod.PRESETS[preset]()
+        loss_cfg = getattr(cfg_mod, preset + "_losses")()
+        assert model_cfg is not None and loss_cfg is not None
+        assert bench.GFLOP_PER_IMAGE_BY_PRESET[preset] > 0

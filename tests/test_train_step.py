@@ -307,3 +307,38 @@ def test_train_step_fast_stage1_reuse():
     df = jax.tree_util.tree_leaves(s_f.params_d)[0]
     dr = jax.tree_util.tree_leaves(s_r.params_d)[0]
     assert not np.allclose(np.asarray(df), np.asarray(dr))
+
+
+def test_favae_adam_mu_dtype_knob():
+    """TrainConfig.adam_mu_dtype="bfloat16" stores Adam's first moment in
+    bf16 for BOTH the generator and discriminator optimizers (mirror of
+    CATConfig.adam_mu_dtype — a measured -17% step-time win there) and still
+    trains; the default f32 keeps the reference's exact Adam dynamics and
+    the two trajectories stay close over a few steps (mu rounding only —
+    nu and params remain f32)."""
+    model_cfg, loss_cfg = tiny_cfg(), tiny_losses()
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+        * 2 - 1)
+    final = {}
+    for mu_dtype in ("float32", "bfloat16"):
+        train_cfg = TrainConfig(batch_size=8, adam_mu_dtype=mu_dtype)
+        state, model, tx_g, tx_d = FavaeTrainState.create(
+            model_cfg, loss_cfg, train_cfg, jax.random.PRNGKey(0), lr=1e-4)
+        want = jnp.dtype(mu_dtype)
+        for opt in (state.opt_g, state.opt_d):
+            leaves = [l for l in jax.tree_util.tree_leaves(opt)
+                      if hasattr(l, "dtype") and l.ndim > 0]
+            assert any(l.dtype == want for l in leaves)
+        step = jax.jit(make_train_step(
+            model, LPIPS(dtype=jnp.float32), tx_g, tx_d, model_cfg,
+            loss_cfg, train_cfg, disc_on=True, ffl_on=True))
+        losses = []
+        for _ in range(3):
+            state, m = step(state, x, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_g"]))
+        assert all(np.isfinite(v) for v in losses)
+        final[mu_dtype] = losses[-1]
+    # same data/rng/init: bf16 mu perturbs the trajectory only slightly
+    assert abs(final["bfloat16"] - final["float32"]) < 0.05 * max(
+        1e-3, abs(final["float32"]))
