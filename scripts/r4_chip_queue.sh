@@ -1,15 +1,53 @@
 #!/bin/bash
 # Round-4 chip work queue — strictly serial (one TPU process at a time;
-# one CPU core). Fire when the relay probe (utils/backend.wait_for_backend
-# or scripts alike) reports the TPU back. Logs land in /tmp/r4_chip/.
+# one CPU core). Fired by the /tmp probe loop when the relay comes back.
+# Logs land in /tmp/r4_chip/.
+#
+# RESUMABLE: each row records a done-marker under /tmp/r4_chip/done/ and is
+# skipped on a re-fire, so a relay outage mid-queue costs only the row it
+# interrupted. Before every row a killable subprocess probe
+# (scripts/tpu_probe.py) checks the relay; if it is down the queue re-arms
+# the probe loop (removes /tmp/queue_fired) and exits instead of burning
+# each remaining row's full retry budget (~25 min/row) against a dead relay.
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 L=/tmp/r4_chip
+mkdir -p $L/done
+
+probe_relay() {
+  timeout 300 python scripts/tpu_probe.py >> $L/probe.log 2>&1
+}
+
+# Re-arm the /tmp probe loop (it skips probing while queue_fired exists) and
+# bail; done rows are skipped when the loop fires the queue again.
+rearm_and_exit() {
+  echo "=== relay lost — re-arming probe loop $(date +%H:%M:%S)" | tee -a $L/queue.log
+  rm -f /tmp/queue_fired
+  exit 1
+}
+
 run() {
   name=$1; shift
+  if [ -f $L/done/$name ]; then
+    echo "=== $name skip (done) $(date +%H:%M:%S)" | tee -a $L/queue.log
+    return 0
+  fi
+  probe_relay || rearm_and_exit
   echo "=== $name start $(date +%H:%M:%S)" | tee -a $L/queue.log
   "$@" > $L/$name.log 2>&1
-  echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a $L/queue.log
+  rc=$?
+  echo "=== $name exit=$rc $(date +%H:%M:%S)" | tee -a $L/queue.log
+  if [ $rc -eq 124 ] || grep -q "backend unavailable" $L/$name.log; then
+    # timeout or explicit unavailable: relay-suspect. If the relay is down,
+    # re-arm (row will retry on the next fire); if it is UP the row was
+    # genuinely slow/broken — mark done so re-fires don't loop on it.
+    probe_relay || rearm_and_exit
+    echo "timeout-or-unavailable with relay up rc=$rc" > $L/done/$name
+  else
+    # completed (pass or deterministic failure — retrying the latter on a
+    # re-fire would reproduce it and waste the relay window)
+    echo "rc=$rc" > $L/done/$name
+  fi
 }
 
 # Preserve whatever ran into the repo so results survive even if no builder
@@ -30,6 +68,9 @@ run bench_expe5 timeout 2400 python bench.py
 # 1b. stage-1 reuse fast path (opt-in; skips the reference-faithful D-step
 # re-forward — see TrainConfig.faithful_stage1_recompute)
 run bench_expe5_fast env FAVAE_BENCH_FAST_STAGE1=1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
+# 1c. opt-in bf16 Adam-mu on the FA-VAE step (TrainConfig.adam_mu_dtype;
+# expected ~1% — measure once so the knob's value is recorded, not estimated)
+run bench_expe5_mu env FAVAE_BENCH_MU_DTYPE=bfloat16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 
 # 2. undriven presets (VERDICT #1). f16 first (Pallas VQ at K=16384).
 run bench_imagenet_f16 env FAVAE_BENCH_PRESET=imagenet_f16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
