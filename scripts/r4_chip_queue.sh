@@ -55,9 +55,10 @@ run() {
 # logs under docs/data/r4_chip/ and commit. Called after each phase and from
 # an EXIT trap so a timeout/kill still lands a partial capture.
 preserve() {
+  ( cd /root/repo && python scripts/summarize_chip_logs.py $L --write ) >/dev/null 2>&1 || true
   mkdir -p /root/repo/docs/data/r4_chip
   cp -f $L/*.log /root/repo/docs/data/r4_chip/ 2>/dev/null
-  cp -f $L/*.json $L/*.npz /root/repo/docs/data/r4_chip/ 2>/dev/null
+  cp -f $L/*.json $L/*.npz $L/SUMMARY.md /root/repo/docs/data/r4_chip/ 2>/dev/null
   ( cd /root/repo && git add docs/data/r4_chip >/dev/null 2>&1; \
     git commit --quiet -m "Capture r4 chip-queue logs" -- docs/data/r4_chip ) || true
 }

@@ -1,0 +1,124 @@
+"""Summarize a chip-queue log directory into SUMMARY.md + summary.json.
+
+The r4 chip queue (scripts/r4_chip_queue.sh) runs unattended when the relay
+probe loop fires it — possibly with no builder session alive — and preserves
+raw per-row logs into docs/data/r4_chip/. This turns those raw logs into one
+judge-readable table: per queue row, the exit code and every JSON metric
+line the row printed (bench.py / validate_mu_dtype.py / long_horizon_drive.py
+all emit `{"metric": ...}` lines).
+
+    python scripts/summarize_chip_logs.py /tmp/r4_chip --write
+prints the markdown table; --write also drops SUMMARY.md and summary.json
+into the directory (the queue's preserve() commits them with the logs).
+"""
+import argparse
+import json
+import os
+import re
+import sys
+
+ROW_RE = re.compile(r"^=== (\S+) (start|skip \(done\)|exit=(-?\d+)) (\d\d:\d\d:\d\d)")
+
+
+def parse_queue_log(path):
+    """Return ordered row statuses from queue.log: name -> dict."""
+    rows = {}
+    if not os.path.exists(path):
+        return rows
+    with open(path) as f:
+        for line in f:
+            m = ROW_RE.match(line.strip())
+            if not m:
+                continue
+            name, what, code, ts = m.groups()
+            row = rows.setdefault(name, {"name": name})
+            if what == "start":
+                row["start"] = ts
+            elif what.startswith("skip"):
+                row.setdefault("status", "skipped (already done)")
+            else:
+                row["exit"] = int(code)
+                row["end"] = ts
+    return rows
+
+
+def parse_metric_lines(path):
+    """All parseable {"metric": ...} JSON lines in a row's log."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not (line.startswith("{") and '"metric"' in line):
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                out.append(obj)
+    return out
+
+
+def _fmt_result(r):
+    """One metric dict -> compact human cell."""
+    if r.get("error"):
+        return f"ERROR: {r['error'][:80]}"
+    val = r.get("value")
+    cell = f"{val} {r.get('unit', '')}".strip()
+    extras = []
+    for k in ("step_ms", "mfu_pct", "tflops", "pct_of_synthetic",
+              "gap_over_noise", "neutral", "final_window_gap",
+              "cb_usage_pct_final", "steps"):
+        if k in r:
+            extras.append(f"{k}={r[k]}")
+    if r.get("loader_fed"):
+        extras.append(f"loader_fed={r['loader_fed'].get('value')}")
+    return cell + (" (" + ", ".join(extras) + ")" if extras else "")
+
+
+def summarize(log_dir):
+    statuses = parse_queue_log(os.path.join(log_dir, "queue.log"))
+    rows = []
+    for name, st in statuses.items():
+        results = parse_metric_lines(os.path.join(log_dir, name + ".log"))
+        rows.append({**st, "results": results})
+    return rows
+
+
+def to_markdown(rows):
+    lines = ["# Chip-queue results", "",
+             "| row | exit | result |", "|---|---|---|"]
+    for r in rows:
+        status = (f"{r['exit']}" if "exit" in r
+                  else r.get("status") or "RUNNING/CUT")
+        if not r["results"]:
+            res = "(no metric line)"
+        else:
+            res = "<br>".join(f"`{x['metric']}`: {_fmt_result(x)}"
+                              for x in r["results"])
+        lines.append(f"| {r['name']} | {status} | {res} |")
+    return "\n".join(lines) + "\n"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log_dir", nargs="?", default="/tmp/r4_chip")
+    ap.add_argument("--write", action="store_true",
+                    help="write SUMMARY.md + summary.json into log_dir")
+    args = ap.parse_args(argv)
+
+    rows = summarize(args.log_dir)
+    md = to_markdown(rows)
+    print(md)
+    if args.write:
+        with open(os.path.join(args.log_dir, "SUMMARY.md"), "w") as f:
+            f.write(md)
+        with open(os.path.join(args.log_dir, "summary.json"), "w") as f:
+            json.dump({"rows": rows}, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
