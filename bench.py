@@ -250,7 +250,8 @@ if __name__ == "__main__":
     # artifact to this); retry the whole run on backend-init UNAVAILABLE and
     # emit a machine-readable error line instead of a bare traceback if the
     # relay never comes back.
-    from favae_tpu.utils.backend import (call_with_backend_retry,
+    from favae_tpu.utils.backend import (acquire_chip_lock,
+                                         call_with_backend_retry,
                                          is_transient_backend_error,
                                          wait_for_backend)
 
@@ -264,6 +265,11 @@ if __name__ == "__main__":
         }))
         sys.exit(1)
 
+    # serialize against other TPU processes on this host (a chip-queue row
+    # fired by the relay probe loop vs this bench run = garbled timings);
+    # the handle must stay referenced until process exit
+    _chip_lock = acquire_chip_lock(
+        log=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
     # a hung relay dial blocks in-process init forever (observed: >25 min at
     # 0% CPU) — probe in a killable subprocess before touching the backend
     if not wait_for_backend(

@@ -84,6 +84,56 @@ def wait_for_backend(*, tries: int = 3, delay_s: float = 60.0,
     return False
 
 
+CHIP_LOCK_PATH = "/tmp/favae_chip.lock"
+
+
+def acquire_chip_lock(*, path: str = CHIP_LOCK_PATH,
+                      timeout_s: float = 2400.0, poll_s: float = 15.0,
+                      sleep: Callable[[float], None] = time.sleep,
+                      log: Callable[[str], None] | None = None):
+    """Best-effort mutual exclusion between TPU processes on this host.
+
+    The relay serves ONE chip through one CPU core; two concurrent TPU
+    processes (e.g. the round driver's bench.py vs a chip-queue row fired
+    by the relay probe loop) contend for both and produce garbage timings.
+    The chip queue wraps rows in ``flock(1)`` on the same file; this is the
+    Python side for bench.py / __graft_entry__.entry().
+
+    Returns the open file object HOLDING the lock (keep it referenced; the
+    lock releases on close/exit), or None if the lock never freed within
+    ``timeout_s`` — callers should proceed anyway (a late, possibly noisy
+    bench beats an empty artifact) after logging.
+
+    Set ``FAVAE_SKIP_CHIP_LOCK=1`` to no-op (used by the chip queue, whose
+    rows already run under its own flock — a nested in-process acquire
+    would deadlock against the inherited lock)."""
+    import fcntl
+    import os
+
+    if os.environ.get("FAVAE_SKIP_CHIP_LOCK") == "1":
+        return open(os.devnull, "rb")  # uniform handle; holds nothing
+    f = open(path, "ab")
+    deadline = time.monotonic() + timeout_s
+    waited = False
+    while True:
+        try:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            if waited and log is not None:
+                log("chip lock acquired")
+            return f
+        except OSError:
+            if time.monotonic() >= deadline:
+                if log is not None:
+                    log(f"chip lock still held after {timeout_s:.0f}s — "
+                        "proceeding WITHOUT it (timings may be garbled)")
+                f.close()
+                return None
+            if not waited and log is not None:
+                log("chip lock held by another TPU process — waiting")
+            waited = True
+            sleep(poll_s)
+
+
 def call_with_backend_retry(fn: Callable[[], T], *, tries: int = 3,
                             delay_s: float = 60.0,
                             sleep: Callable[[float], None] = time.sleep,

@@ -10,6 +10,9 @@
 # the probe loop (removes /tmp/queue_fired) and exits instead of burning
 # each remaining row's full retry budget (~25 min/row) against a dead relay.
 export PYTHONPATH=/root/repo:/root/.axon_site
+# rows already serialize via the flock below; the in-process lock in
+# bench.py would deadlock against the flock its own parent holds
+export FAVAE_SKIP_CHIP_LOCK=1
 cd /root/repo
 L=/tmp/r4_chip
 mkdir -p $L/done
@@ -34,7 +37,9 @@ run() {
   fi
   probe_relay || rearm_and_exit
   echo "=== $name start $(date +%H:%M:%S)" | tee -a $L/queue.log
-  "$@" > $L/$name.log 2>&1
+  # hold the host-wide chip lock per row so a driver-run bench.py (which
+  # acquires the same lock in-process) never overlaps a queue row
+  flock -w 10800 /tmp/favae_chip.lock "$@" > $L/$name.log 2>&1
   rc=$?
   echo "=== $name exit=$rc $(date +%H:%M:%S)" | tee -a $L/queue.log
   if [ $rc -eq 124 ] || grep -q "backend unavailable" $L/$name.log; then

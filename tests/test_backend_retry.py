@@ -158,3 +158,46 @@ print("CLEAN")
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0 and "CLEAN" in out.stdout, (
         f"import-time backend use detected: {out.stdout} {out.stderr[-500:]}")
+
+
+# ---- chip lock (host-wide TPU mutual exclusion) ---------------------------
+
+def test_chip_lock_acquire_and_contention(tmp_path):
+    from favae_tpu.utils.backend import acquire_chip_lock
+    lock = str(tmp_path / "chip.lock")
+    held = acquire_chip_lock(path=lock, timeout_s=1.0)
+    assert held is not None
+    # a second open-file-description on the same file must NOT get the lock
+    msgs = []
+    second = acquire_chip_lock(path=lock, timeout_s=0.0, poll_s=0.01,
+                               sleep=lambda s: None, log=msgs.append)
+    assert second is None
+    assert any("proceeding WITHOUT" in m for m in msgs)
+    held.close()  # release
+    third = acquire_chip_lock(path=lock, timeout_s=1.0)
+    assert third is not None
+    third.close()
+
+
+def test_chip_lock_waits_until_freed(tmp_path):
+    from favae_tpu.utils.backend import acquire_chip_lock
+    lock = str(tmp_path / "chip.lock")
+    held = acquire_chip_lock(path=lock, timeout_s=1.0)
+
+    def sleep_then_release(_s):
+        held.close()  # holder exits while the second caller polls
+
+    second = acquire_chip_lock(path=lock, timeout_s=30.0, poll_s=0.01,
+                               sleep=sleep_then_release)
+    assert second is not None
+    second.close()
+
+
+def test_chip_lock_skip_env(tmp_path, monkeypatch):
+    from favae_tpu.utils.backend import acquire_chip_lock
+    monkeypatch.setenv("FAVAE_SKIP_CHIP_LOCK", "1")
+    lock = str(tmp_path / "chip.lock")
+    held = acquire_chip_lock(path=lock, timeout_s=1.0)
+    h2 = acquire_chip_lock(path=lock, timeout_s=0.0)  # no contention: no-op
+    assert held is not None and h2 is not None
+    held.close(); h2.close()
