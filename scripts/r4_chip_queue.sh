@@ -9,64 +9,14 @@
 # (scripts/tpu_probe.py) checks the relay; if it is down the queue re-arms
 # the probe loop (removes /tmp/queue_fired) and exits instead of burning
 # each remaining row's full retry budget (~25 min/row) against a dead relay.
+# Row mechanics (run/probe/rearm/preserve) live in scripts/queue_lib.sh,
+# covered by tests/test_chip_queue_logic.py.
 export PYTHONPATH=/root/repo:/root/.axon_site
-# rows already serialize via the flock below; the in-process lock in
-# bench.py would deadlock against the flock its own parent holds
+# rows already serialize via the per-row flock in run(); the in-process lock
+# in bench.py would deadlock against the flock its own parent holds
 export FAVAE_SKIP_CHIP_LOCK=1
 cd /root/repo
-L=/tmp/r4_chip
-mkdir -p $L/done
-
-probe_relay() {
-  timeout 300 python scripts/tpu_probe.py >> $L/probe.log 2>&1
-}
-
-# Re-arm the /tmp probe loop (it skips probing while queue_fired exists) and
-# bail; done rows are skipped when the loop fires the queue again.
-rearm_and_exit() {
-  echo "=== relay lost — re-arming probe loop $(date +%H:%M:%S)" | tee -a $L/queue.log
-  rm -f /tmp/queue_fired
-  exit 1
-}
-
-run() {
-  name=$1; shift
-  if [ -f $L/done/$name ]; then
-    echo "=== $name skip (done) $(date +%H:%M:%S)" | tee -a $L/queue.log
-    return 0
-  fi
-  probe_relay || rearm_and_exit
-  echo "=== $name start $(date +%H:%M:%S)" | tee -a $L/queue.log
-  # hold the host-wide chip lock per row so a driver-run bench.py (which
-  # acquires the same lock in-process) never overlaps a queue row
-  flock -w 10800 /tmp/favae_chip.lock "$@" > $L/$name.log 2>&1
-  rc=$?
-  echo "=== $name exit=$rc $(date +%H:%M:%S)" | tee -a $L/queue.log
-  if [ $rc -eq 124 ] || grep -q "backend unavailable" $L/$name.log; then
-    # timeout or explicit unavailable: relay-suspect. If the relay is down,
-    # re-arm (row will retry on the next fire); if it is UP the row was
-    # genuinely slow/broken — mark done so re-fires don't loop on it.
-    probe_relay || rearm_and_exit
-    echo "timeout-or-unavailable with relay up rc=$rc" > $L/done/$name
-  else
-    # completed (pass or deterministic failure — retrying the latter on a
-    # re-fire would reproduce it and waste the relay window)
-    echo "rc=$rc" > $L/done/$name
-  fi
-}
-
-# Preserve whatever ran into the repo so results survive even if no builder
-# session is alive when the queue finishes (or is cut off mid-run): copy the
-# logs under docs/data/r4_chip/ and commit. Called after each phase and from
-# an EXIT trap so a timeout/kill still lands a partial capture.
-preserve() {
-  ( cd /root/repo && python scripts/summarize_chip_logs.py $L --write ) >/dev/null 2>&1 || true
-  mkdir -p /root/repo/docs/data/r4_chip
-  cp -f $L/*.log /root/repo/docs/data/r4_chip/ 2>/dev/null
-  cp -f $L/*.json $L/*.npz $L/SUMMARY.md /root/repo/docs/data/r4_chip/ 2>/dev/null
-  ( cd /root/repo && git add docs/data/r4_chip >/dev/null 2>&1; \
-    git commit --quiet -m "Capture r4 chip-queue logs" -- docs/data/r4_chip ) || true
-}
+source scripts/queue_lib.sh
 trap preserve EXIT
 
 # 1. canonical bench (expe5, synthetic + loader-fed) — also the /verify drive
