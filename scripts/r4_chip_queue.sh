@@ -19,36 +19,35 @@ cd /root/repo
 source scripts/queue_lib.sh
 trap preserve EXIT
 
+# Row order = evidence value per relay-minute (VERDICT r3 ranking): the
+# canonical bench first (it doubles as the /verify drive and its compile is
+# usually warm in the persistent cache), then the three never-driven presets
+# (VERDICT #1), then the CAT MFU grid (#2b/#7), then the long-horizon and
+# real-vocab drives (#3/#6); opt-in knob rows and sampler refreshes last.
+# preserve() runs between groups so a cut-off mid-queue still lands partials.
+
 # 1. canonical bench (expe5, synthetic + loader-fed) — also the /verify drive
 run bench_expe5 timeout 2400 python bench.py
-# 1b. stage-1 reuse fast path (opt-in; skips the reference-faithful D-step
-# re-forward — see TrainConfig.faithful_stage1_recompute)
-run bench_expe5_fast env FAVAE_BENCH_FAST_STAGE1=1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
-# 1c. opt-in bf16 Adam-mu on the FA-VAE step (TrainConfig.adam_mu_dtype;
-# expected ~1% — measure once so the knob's value is recorded, not estimated)
-run bench_expe5_mu env FAVAE_BENCH_MU_DTYPE=bfloat16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 
 # 2. undriven presets (VERDICT #1). f16 first (Pallas VQ at K=16384).
 run bench_imagenet_f16 env FAVAE_BENCH_PRESET=imagenet_f16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 run bench_ffhq_table1 env FAVAE_BENCH_PRESET=ffhq_table1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 run bench_imagenet_f4 env FAVAE_BENCH_PRESET=imagenet_f4 FAVAE_BENCH_MODE=synthetic FAVAE_BENCH_BATCH=8 timeout 3000 python bench.py
+preserve
 
-# 3. bf16 Adam-mu convergence validation, 500 steps x2 (VERDICT #2a)
-run validate_mu timeout 3600 env STEPS=500 B=16 python scripts/validate_mu_dtype.py
-
-# 4. CAT bench rows (VERDICT #2b + #7): f32 row, bf16 row, bf16 B=24
+# 3. CAT bench rows (VERDICT #2b + #7): f32 row, bf16 row, bf16 B=24
 run cat_b16_f32 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=float32 timeout 2400 python bench.py
 run cat_b16_bf16 env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
 run cat_b24_bf16 env FAVAE_BENCH_MODE=cat B=24 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
-run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
 
 echo "QUEUE PHASE 1 DONE $(date +%H:%M:%S)" | tee -a $L/queue.log
 preserve
 
-# 5. long-horizon stability drive (VERDICT #3): 1.5k steps loader-fed
+# 4. long-horizon stability drive (VERDICT #3): 1.5k steps loader-fed
 run long_horizon env STEPS=1500 BATCH=16 timeout 3600 python scripts/long_horizon_drive.py
+preserve
 
-# 6. real-vocab CAT end-to-end (VERDICT #6): train on captioned corpus with
+# 5. real-vocab CAT end-to-end (VERDICT #6): train on captioned corpus with
 # the reference BPE vocab, then generate from the checkpoint
 run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --ds r4_realvocab \
@@ -58,7 +57,7 @@ run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
   --txt_tok_cond --batch_size 8 --epochs 25 --num_workers 4 \
   --print_steps 8 --img_steps 200
-# 6b. generate from the just-trained real-vocab checkpoint (VERDICT #6's
+# 5b. generate from the just-trained real-vocab checkpoint (VERDICT #6's
 # done-criterion: caption-conditioned sampling from a real-vocab chip run)
 run cat_realvocab_generate timeout 1800 python -m favae_tpu.cli.generate \
   --ckpt output/cat/r4_realvocab/latest \
@@ -66,7 +65,17 @@ run cat_realvocab_generate timeout 1800 python -m favae_tpu.cli.generate \
   --prompt "a smiling young woman with long brown hair" \
   --prompt "a man wearing glasses" \
   --n 2 --out /tmp/r4_chip/realvocab_samples.npz
-# 7. serving sampler refresh (bf16 + int8 engine rows)
+preserve
+
+# 6. bf16 Adam-mu convergence validation, 500 steps x2 (VERDICT #2a)
+run validate_mu timeout 3600 env STEPS=500 B=16 python scripts/validate_mu_dtype.py
+
+# 7. opt-in knob rows (stage-1 reuse, FA-VAE bf16 mu, CAT fold_ln)
+run bench_expe5_fast env FAVAE_BENCH_FAST_STAGE1=1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
+run bench_expe5_mu env FAVAE_BENCH_MU_DTYPE=bfloat16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
+run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
+
+# 8. serving sampler refresh (bf16 + int8 engine rows)
 run cat_sampling_b4 env B=4 timeout 1800 python scripts/bench_cat_sampling.py
 run cat_sampling_b16 env B=16 timeout 1800 python scripts/bench_cat_sampling.py
 
