@@ -22,6 +22,18 @@ peak.
 `vs_baseline` (secondary, estimated): the reference publishes no throughput
 numbers; 25 imgs/sec/chip is our A100 estimate from the reference's V100
 batch-8 hint + A100/V100 scaling. The primary claim is the measured MFU.
+
+Timing soundness (r4 postmortem): `jax.block_until_ready` returns early
+through the experimental axon relay — r4 shipped a physically impossible
+3268% MFU because the bench timed dispatch, not execution. The only
+trustworthy sync is a HOST FETCH of the scalar loss (`float(m["loss_g"])`):
+the bytes must cross the relay, and the donated-state chain makes the
+fetched loss depend on every preceding step, so the wall clock covers all
+of them. On top of that, hard sanity gates reject any result whose implied
+MFU exceeds 100% (or whose step time beats the bf16 roofline): such a
+number is quarantined under "suspect" and the line carries an "error"
+field instead of a value, so an invalid measurement can never again be
+published as the primary claim.
 """
 
 import json
@@ -37,6 +49,9 @@ import jax
 from favae_tpu.utils.xla_cache import enable_persistent_cache
 enable_persistent_cache()
 import jax.numpy as jnp
+
+from favae_tpu.utils.benchgate import (V5E_BF16_PEAK_TFLOPS,
+                                       apply_sanity_gate)
 
 from favae_tpu.config import TrainConfig
 from favae_tpu.models.lpips import LPIPS
@@ -57,7 +72,6 @@ GFLOP_PER_IMAGE = GFLOP_PER_IMAGE_BY_PRESET["celebahq_expe5"]
 # same measurement with faithful_stage1_recompute=False (the FAST_STAGE1
 # row skips one E+G forward): scripts/measure_step_flops.py 16 fast
 GFLOP_PER_IMAGE_FAST = 1637.7
-V5E_BF16_PEAK_TFLOPS = 197.0
 # FAVAE_BENCH_PRESET: which published launch config to bench
 # (reference: favae_scripts/train_favae_other_datasets_public.sh:8-30)
 PRESET = os.environ.get("FAVAE_BENCH_PRESET", "celebahq_expe5")
@@ -68,6 +82,24 @@ ITERS = 20
 # "synthetic", "real" (loader-fed only), "loader" (input pipeline only),
 # "cat" (CAT gpt2_medium train-step row, delegates to scripts/bench_cat_train)
 MODE = os.environ.get("FAVAE_BENCH_MODE", "both")
+
+
+def _sync_fetch(m, key="loss_g"):
+    """Truthful device sync: host-fetch the scalar loss.
+
+    block_until_ready does NOT block through the axon relay (r4
+    postmortem) — a value fetch cannot report early because the scalar's
+    bytes must arrive on the host. With donate_argnums=0 the returned
+    loss depends on the whole step chain, so fetching the last loss
+    forces every timed step to have executed. Also rejects non-finite
+    losses: a bench that "measures" a diverged step is not a benchmark.
+    """
+    v = float(m[key])
+    if not np.isfinite(v):
+        raise RuntimeError(
+            f"benched step produced non-finite {key}={v}; refusing to "
+            "report throughput for a diverged step")
+    return v
 
 
 def _jpeg_dataset(tmp_dir: str, n: int = 256, resolution: int = 256):
@@ -130,7 +162,7 @@ def _time_loader_fed(step, state, rng, batch, n_chips):
     xb = next(it)
     # compile/warm the uint8-input step variant before timing
     state, m = step(state, jnp.asarray(xb), rng)
-    jax.block_until_ready(m["loss_g"])
+    _sync_fetch(m)
     n_done = 0
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -144,7 +176,7 @@ def _time_loader_fed(step, state, rng, batch, n_chips):
             continue
         state, m = step(state, jnp.asarray(xb), rng)
         n_done += xb.shape[0]
-    jax.block_until_ready(m["loss_g"])
+    _sync_fetch(m)  # host fetch: forces the whole donated-state chain
     dt = time.perf_counter() - t0
     dl.close()
     return n_done / dt / n_chips, state
@@ -192,15 +224,16 @@ def main():
     rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
         state, m = step(state, x, rng)
-    jax.block_until_ready(m["loss_g"])
+    _sync_fetch(m)
 
     result = {}
     synth = None
+    loss_final = None
     if MODE in ("both", "synthetic"):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, m = step(state, x, rng)
-        jax.block_until_ready(m["loss_g"])
+        loss_final = _sync_fetch(m)  # host fetch: forces all ITERS steps
         dt = (time.perf_counter() - t0) / ITERS
         synth = batch / dt / n_chips
 
@@ -226,7 +259,11 @@ def main():
         # secondary, estimated (reference publishes no throughput numbers)
         "vs_baseline": round(headline / A100_BASELINE_IMGS_PER_SEC, 3),
         "vs_baseline_note": "estimated A100 figure; primary claim is mfu_pct",
+        "sync": "host-fetch of scalar loss (donated-state chain); "
+                "block_until_ready is unreliable through the axon relay",
     }
+    if loss_final is not None:
+        result["loss_g_final"] = round(loss_final, 4)
     if gflop is not None:
         tflops = headline * gflop / 1e3
         result.update(
@@ -242,6 +279,7 @@ def main():
             "pipeline": "uint8 transfer + on-device normalize, "
                         "process-pool JPEG decode",
         }
+    result = apply_sanity_gate(result, gflop, BATCH_PER_CHIP)
     print(json.dumps(result))
 
 

@@ -35,7 +35,9 @@ from favae_tpu.models.txt_cond import build_cat  # noqa: E402
 from favae_tpu.train.cat_step import (  # noqa: E402
     create_cat_state, make_cat_optimizer, make_cat_train_step)
 
-V5E_BF16_PEAK_TFLOPS = 197.0
+from favae_tpu.utils.benchgate import (  # noqa: E402
+    V5E_BF16_PEAK_TFLOPS, apply_sanity_gate)
+
 WARMUP = 2
 ITERS = 10
 
@@ -147,6 +149,9 @@ def main():
     out["mfu_convention"] = ("analytic model FLOPs fwd+bwd, remat recompute "
                              "excluded; frozen towers measured via CPU cost "
                              "analysis")
+    # >100% MFU / sub-roofline step_ms -> error + quarantined "suspect"
+    # (r4 postmortem; see favae_tpu/utils/benchgate.py)
+    out = apply_sanity_gate(out, gflop, b)
     print(json.dumps(out))
 
 

@@ -9,6 +9,8 @@
 #   QUEUE_PROBE_CMD  relay probe command (default: killable subprocess probe)
 #   QUEUE_REPO       repo the preserve step commits into (default /root/repo)
 #   QUEUE_LOCK_WAIT  max seconds to wait for the chip lock (default 10800)
+#   QUEUE_DATA_SUBDIR repo-relative preserve destination (default
+#                     docs/data/r4_chip; the r5 queue sets docs/data/r5_chip)
 #
 # Semantics:
 #   run NAME CMD...  — skip if done-marker exists; probe the relay first
@@ -25,6 +27,7 @@ QUEUE_CHIP_LOCK=${QUEUE_CHIP_LOCK:-/tmp/favae_chip.lock}
 QUEUE_PROBE_CMD=${QUEUE_PROBE_CMD:-timeout 300 python scripts/tpu_probe.py}
 QUEUE_REPO=${QUEUE_REPO:-/root/repo}
 QUEUE_LOCK_WAIT=${QUEUE_LOCK_WAIT:-10800}
+QUEUE_DATA_SUBDIR=${QUEUE_DATA_SUBDIR:-docs/data/r4_chip}
 mkdir -p "$L/done"
 
 probe_relay() {
@@ -71,9 +74,11 @@ run() {
 # an EXIT trap so a timeout/kill still lands a partial capture.
 preserve() {
   ( cd "$QUEUE_REPO" && python scripts/summarize_chip_logs.py "$L" --write ) >/dev/null 2>&1 || true
-  mkdir -p "$QUEUE_REPO/docs/data/r4_chip"
-  cp -f "$L"/*.log "$QUEUE_REPO/docs/data/r4_chip/" 2>/dev/null
-  cp -f "$L"/*.json "$L"/*.npz "$L"/SUMMARY.md "$QUEUE_REPO/docs/data/r4_chip/" 2>/dev/null
-  ( cd "$QUEUE_REPO" && git add docs/data/r4_chip >/dev/null 2>&1; \
-    git commit --quiet -m "Capture r4 chip-queue logs" -- docs/data/r4_chip ) || true
+  mkdir -p "$QUEUE_REPO/$QUEUE_DATA_SUBDIR"
+  cp -f "$L"/*.log "$QUEUE_REPO/$QUEUE_DATA_SUBDIR/" 2>/dev/null
+  cp -f "$L"/*.json "$L"/*.npz "$L"/SUMMARY.md "$QUEUE_REPO/$QUEUE_DATA_SUBDIR/" 2>/dev/null
+  local tag
+  tag=$(basename "$QUEUE_DATA_SUBDIR" | sed 's/_chip$//')
+  ( cd "$QUEUE_REPO" && git add "$QUEUE_DATA_SUBDIR" >/dev/null 2>&1; \
+    git commit --quiet -m "Capture $tag chip-queue logs" -- "$QUEUE_DATA_SUBDIR" ) || true
 }

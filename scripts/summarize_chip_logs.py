@@ -17,6 +17,23 @@ import os
 import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+try:
+    from favae_tpu.utils.benchgate import flag_impossible
+except ImportError:
+    # standalone copy without the package: keep the gate, inline
+    def flag_impossible(metric):
+        if not isinstance(metric, dict):
+            return None
+        mfu = metric.get("mfu_pct")
+        if isinstance(mfu, (int, float)) and mfu > 100.0:
+            return f"mfu_pct={mfu} > 100"
+        tflops = metric.get("tflops")
+        if isinstance(tflops, (int, float)) and tflops > 197.0:
+            return f"tflops={tflops} > v5e bf16 peak 197.0"
+        return None
+
 ROW_RE = re.compile(r"^=== (\S+) (start|skip \(done\)|exit=(-?\d+)) (\d\d:\d\d:\d\d)")
 
 
@@ -57,12 +74,21 @@ def parse_metric_lines(path):
             except ValueError:
                 continue
             if isinstance(obj, dict) and "metric" in obj:
+                # post-hoc sanity gate (mirrors bench.py's pre-print gate):
+                # a line claiming >100% MFU / super-peak TFLOPs is timing
+                # garbage — never reformat it into a deadpan table row
+                # again (r4 shipped a 1440% MFU SUMMARY.md that way)
+                reason = flag_impossible(obj)
+                if reason is not None:
+                    obj = dict(obj, timing_invalid=reason)
                 out.append(obj)
     return out
 
 
 def _fmt_result(r):
     """One metric dict -> compact human cell."""
+    if r.get("timing_invalid"):
+        return f"TIMING-INVALID ({r['timing_invalid']}) — do not cite"
     if r.get("error"):
         return f"ERROR: {r['error'][:80]}"
     val = r.get("value")
