@@ -74,7 +74,29 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     art = args.artifacts_dir
-    results = {"artifacts_dir": os.path.abspath(art), "favae": {}, "cat": {}}
+    results = {
+        "artifacts_dir": os.path.abspath(art),
+        # exact filenames this gate consumes, so an environment that gains
+        # the released artifacts (reference: README.md:18-24) can run it
+        # with zero archaeology (VERDICT r4 #8)
+        "expected_artifacts": {
+            "favae_checkpoints": {
+                preset: list(ckpts) for preset, ckpts, _ in FAVAE_TABLE},
+            "cat_checkpoint": list(CAT_CANDIDATES),
+            "frozen_towers": ["vgg16_lpips.pt",
+                              "pt_inception-2015-12-05.pt | pt_inception.pt",
+                              "ViT-L-14.pt",
+                              "bpe_simple_vocab_16e6.txt.gz"],
+            "eval_manifests": ["--celeba_test celeba_test.pkl",
+                               "--ffhq_test ffhq_test.pkl",
+                               "--imagenet_val imagenet_val.pkl",
+                               "--celeba_captions (optional, CAT grid)"],
+            "command": ("python scripts/run_weights_parity.py "
+                        "--artifacts_dir <dir> --celeba_test <pkl> "
+                        "--ffhq_test <pkl> --imagenet_val <pkl> "
+                        "--out PARITY_RESULTS.json"),
+        },
+        "favae": {}, "cat": {}}
     lpips_ckpt = _find(art, ("vgg16_lpips.pt",))
     inception_ckpt = _find(art, ("pt_inception-2015-12-05.pt",
                                  "pt_inception.pt"))
