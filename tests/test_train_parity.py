@@ -754,6 +754,11 @@ def test_train_parity_statistical_100_steps():
             f"envelope {env:.5f} (windows ours={wo}, torchA={wa}, "
             f"torchB={wb}) — systematic training-dynamics drift")
 
+    # visible under pytest -s so each round's run records its numbers in
+    # docs/PARITY.md without a re-run
+    print("\nstat-parity report (metric: ours-vs-torch gap, envelope):",
+          {k: (round(g, 5), round(e, 5)) for k, (g, e) in report.items()})
+
     # sensitivity: the envelope must catch a GROSS systematic bug — lr
     # misapplied by 1.5x (the wrong-lr/wrong-loss-weight class this
     # instrument exists for; subtler bugs like decay+1e-3 are below the
