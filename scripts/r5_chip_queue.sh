@@ -57,7 +57,7 @@ run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --val_file /root/.cache/favae_cat_corpus/val_w_cap.pkl \
   --bpe_vocab /root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz \
   --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
-  --txt_tok_cond --batch_size 8 --epochs 25 --num_workers 4 \
+  --txt_tok_cond --batch_size 8 --epochs 12 --num_workers 4 \
   --print_steps 8 --img_steps 200
 # 5b. generate from the just-trained real-vocab checkpoint
 run cat_realvocab_generate timeout 1800 python -m favae_tpu.cli.generate \
@@ -71,12 +71,20 @@ preserve
 # 6. bf16 Adam-mu convergence validation, 500 steps x2 (VERDICT r4 #5)
 run validate_mu timeout 3600 env STEPS=500 B=16 python scripts/validate_mu_dtype.py
 
-# 7. opt-in knob rows (stage-1 reuse, FA-VAE bf16 mu, CAT fold_ln)
+# 7. decision rows (VERDICT r4 #5 fold_ln A/B; #7 chunked gather at B=24).
+# cat_b24 with REMAT=full: the only policy that fits B>=24 on a 16G chip
+# (dots_nb OOM'd deterministically at compile, 17.54G > 15.75G — r3 + r5
+# row cat_b24_bf16). B=24 pushes the rel-pos one-hot past the 128 MB
+# budget -> first production-shape run of the chunked _gather_bias_mxu.
+run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
+run cat_b24_full env FAVAE_BENCH_MODE=cat B=24 REMAT=full UNROLL=24 MU_DTYPE=bfloat16 timeout 2400 python bench.py
+preserve
+
+# 8. opt-in knob rows (stage-1 reuse, FA-VAE bf16 mu)
 run bench_expe5_fast env FAVAE_BENCH_FAST_STAGE1=1 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
 run bench_expe5_mu env FAVAE_BENCH_MU_DTYPE=bfloat16 FAVAE_BENCH_MODE=synthetic timeout 2400 python bench.py
-run cat_b16_bf16_fold env FAVAE_BENCH_MODE=cat B=16 REMAT=dots_nb UNROLL=24 MU_DTYPE=bfloat16 FOLD_LN=1 timeout 2400 python bench.py
 
-# 8. serving sampler refresh (bf16 + int8 engine rows)
+# 9. serving sampler refresh (bf16 + int8 engine rows)
 run cat_sampling_b4 env B=4 timeout 1800 python scripts/bench_cat_sampling.py
 run cat_sampling_b16 env B=16 timeout 1800 python scripts/bench_cat_sampling.py
 
