@@ -76,7 +76,7 @@ preserve() {
   ( cd "$QUEUE_REPO" && python scripts/summarize_chip_logs.py "$L" --write ) >/dev/null 2>&1 || true
   mkdir -p "$QUEUE_REPO/$QUEUE_DATA_SUBDIR"
   cp -f "$L"/*.log "$QUEUE_REPO/$QUEUE_DATA_SUBDIR/" 2>/dev/null
-  cp -f "$L"/*.json "$L"/*.npz "$L"/SUMMARY.md "$QUEUE_REPO/$QUEUE_DATA_SUBDIR/" 2>/dev/null
+  cp -f "$L"/*.json "$L"/*.npz "$L"/*.png "$L"/SUMMARY.md "$QUEUE_REPO/$QUEUE_DATA_SUBDIR/" 2>/dev/null
   local tag
   tag=$(basename "$QUEUE_DATA_SUBDIR" | sed 's/_chip$//')
   ( cd "$QUEUE_REPO" && git add "$QUEUE_DATA_SUBDIR" >/dev/null 2>&1; \
