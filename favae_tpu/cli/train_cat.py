@@ -216,7 +216,8 @@ def main(argv=None):
                          favae_variables=favae_variables, cb_state=cb_state,
                          clip_params=clip_params, tokenizer=tokenizer,
                          log_dir=os.path.join(save_path, "runs"),
-                         enabled_warmup=args.enabled_warmup, tp=args.tp)
+                         enabled_warmup=args.enabled_warmup, tp=args.tp,
+                         save_every_epoch=args.save_every_epoch)
     if args.resume or args.resume_path:
         trainer.resume(args.resume_path)
     print0(f"devices={jax.device_count()} global_batch={global_batch}")

@@ -47,7 +47,7 @@ class CATTrainer:
                  batch_size: int, favae_variables=None, cb_state=None,
                  clip_params=None, tokenizer=None,
                  log_dir: Optional[str] = None, enabled_warmup: bool = True,
-                 seed: int = 0, tp: int = 1):
+                 seed: int = 0, tp: int = 1, save_every_epoch: int = 1):
         self.cfg = cfg
         n_dev = jax.device_count()
         self.mesh = None
@@ -78,7 +78,7 @@ class CATTrainer:
                                   donate_argnums=0)
         self.eval_step = jax.jit(make_cat_eval_step(self.cat))
 
-        self.ckpt = CheckpointManager(save_dir)
+        self.ckpt = CheckpointManager(save_dir, save_every_epoch)
         self.writer = MetricWriter(log_dir)
         self.start_epoch = 0
         self.rng = jax.random.PRNGKey(seed + 1)
@@ -191,5 +191,6 @@ class CATTrainer:
             self.train_epoch(train_loader, epoch, print_steps, img_steps)
             score = (self.validate(val_loader, epoch)
                      if val_loader else float("inf"))
-            self.ckpt.on_epoch_end(epoch, score, self.state)
+            self.ckpt.on_epoch_end(epoch, score, self.state,
+                                   is_last=epoch == epochs - 1)
         self.writer.close()

@@ -286,5 +286,6 @@ class FavaeTrainer:
             if self.enable_profiler and epoch == self.start_epoch:
                 jax.profiler.stop_trace()
             score = self.validate(val_loader, epoch) if val_loader else float("inf")
-            self.ckpt.on_epoch_end(epoch, score, self.state)
+            self.ckpt.on_epoch_end(epoch, score, self.state,
+                                   is_last=epoch == epochs - 1)
         self.writer.close()

@@ -43,6 +43,15 @@ def save_checkpoint(path: str, state: Any, meta: Optional[Dict] = None) -> None:
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    # Fetch the pytree to host numpy SYNCHRONOUSLY before handing it to
+    # Orbax. Orbax's serializer waits on async device-to-host futures that
+    # never complete through the experimental axon relay (r5 finding: the
+    # save blocks forever on a futex at 0% CPU — same breakage class as
+    # jax.block_until_ready, see docs/ROADMAP.md round-5). A synchronous
+    # device_get is the proven-working fetch path (it is how the fixed
+    # bench syncs); on ordinary backends and on already-host numpy leaves
+    # it is a no-op/cheap copy, so this changes nothing off-relay.
+    state = jax.device_get(state)
     ckptr.save(tmp, state)
     ckptr.wait_until_finished()
     if meta is not None:
@@ -90,11 +99,26 @@ class CheckpointManager:
     def best_path(self):
         return os.path.join(self.save_dir, "best")
 
-    def on_epoch_end(self, epoch: int, score: float, state: Any) -> None:
+    def on_epoch_end(self, epoch: int, score: float, state: Any,
+                     is_last: bool = False) -> None:
+        """Persist latest (and best-so-far) on cadence epochs.
+
+        With the default ``save_every_epoch=1`` this is reference-exact:
+        latest every epoch, best whenever the score improves
+        (favae_scripts/train_favae.py:363-382). A sparser cadence is an
+        operator knob for slow-link environments (each save fetches the
+        full state over the relay): then both latest AND best are only
+        written on cadence epochs or the final epoch, and ``best`` means
+        best-among-persisted-epochs.
+        """
+        if not (epoch % self.save_every_epoch == 0 or is_last):
+            return
         meta = {"epoch": epoch + 1, "score": score,
                 "best_score": min(self.best_score, score)}
-        if epoch % self.save_every_epoch == 0:
-            save_checkpoint(self.latest_path, state, meta)
+        # one synchronous host fetch serves both writes (the device_get
+        # inside save_checkpoint is then a no-op on numpy leaves)
+        state = jax.device_get(state)
+        save_checkpoint(self.latest_path, state, meta)
         if score < self.best_score:
             self.best_score = score
             save_checkpoint(self.best_path, state, meta)

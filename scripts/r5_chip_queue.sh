@@ -58,7 +58,7 @@ run cat_realvocab timeout 3600 python -m favae_tpu.cli.train_cat \
   --bpe_vocab /root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz \
   --use_gauss_resblock --use_cosine_sim --use_l2_quantizer \
   --txt_tok_cond --batch_size 8 --epochs 12 --num_workers 4 \
-  --print_steps 8 --img_steps 200
+  --save_every_epoch 100 --print_steps 8 --img_steps 200
 # 5b. generate from the just-trained real-vocab checkpoint
 run cat_realvocab_generate timeout 1800 python -m favae_tpu.cli.generate \
   --ckpt output/cat/r5_realvocab/latest \

@@ -324,3 +324,30 @@ def test_checkpoint_atomic_roundtrip(tmp_path):
     restored2, meta2 = restore_checkpoint(p, state2)
     np.testing.assert_array_equal(restored2["a"], state2["a"])
     assert meta2["epoch"] == 4
+
+
+def test_checkpoint_cadence_and_final_epoch(tmp_path):
+    """save_every_epoch>1 skips off-cadence epochs (latest AND best — each
+    save is a full state fetch over the relay, the knob must bound both)
+    but the final epoch always persists, so a finished run is never lost."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every_epoch=4)
+    scores = [5.0, 4.0, 3.0, 2.0, 1.0, 0.5]  # improves every epoch
+    for epoch, s in enumerate(scores):
+        state = {"a": np.full(3, float(epoch), np.float32)}
+        mgr.on_epoch_end(epoch, s, state, is_last=epoch == len(scores) - 1)
+        if epoch in (0, 3):  # between cadence hits: nothing new written
+            _, meta = restore_checkpoint(mgr.latest_path, state), None
+    # final epoch (5, off-cadence) must have been persisted via is_last
+    restored, meta = restore_checkpoint(mgr.latest_path,
+                                        {"a": np.zeros(3, np.float32)})
+    assert meta["epoch"] == len(scores)
+    np.testing.assert_array_equal(restored["a"], np.full(3, 5.0, np.float32))
+    # best tracks best-among-persisted epochs (cadence epochs 0,4 + last 5)
+    b, bmeta = restore_checkpoint(mgr.best_path,
+                                  {"a": np.zeros(3, np.float32)})
+    assert bmeta["score"] == 0.5
+    # default cadence=1 remains reference-exact: every epoch persists
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+    mgr2.on_epoch_end(0, 9.0, {"a": np.zeros(2, np.float32)})
+    _, m2 = restore_checkpoint(mgr2.latest_path, {"a": np.zeros(2, np.float32)})
+    assert m2["epoch"] == 1
