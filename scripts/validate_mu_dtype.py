@@ -12,30 +12,25 @@ Decision rule printed with the JSON: if the final-window mean losses differ
 by < the within-run step-to-step noise, bf16 mu is convergence-neutral at
 this horizon.
 
+Each dtype's curve runs in its OWN subprocess: the first r5 chip attempt
+died with RESOURCE_EXHAUSTED at step 0 even though the identical step had
+just benched green (docs/data/r5_chip/validate_mu.log) — a poisoned relay
+device heap in the parent would otherwise sink both curves and every
+in-process retry. The child writes its curve to an .npy; the parent only
+aggregates.
+
     STEPS=500 B=16 python scripts/validate_mu_dtype.py
 """
 
-import dataclasses
 import json
 import os
+import subprocess
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from favae_tpu.utils.xla_cache import enable_persistent_cache
-
-enable_persistent_cache()
-
 import numpy as np  # noqa: E402
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-import optax  # noqa: E402
-
-from favae_tpu.config import cat_celebahq  # noqa: E402
-from favae_tpu.models.txt_cond import build_cat  # noqa: E402
-from favae_tpu.train.cat_step import (  # noqa: E402
-    create_cat_state, make_cat_optimizer, make_cat_train_step)
 
 STEPS = int(os.environ.get("STEPS", "500"))
 B = int(os.environ.get("B", "16"))
@@ -44,7 +39,23 @@ LR = 1e-4
 WINDOW = 100
 
 
-def run(mu_dtype: str) -> np.ndarray:
+def child(mu_dtype: str, out_path: str) -> None:
+    """Run one loss curve on the chip and save it to out_path (.npy)."""
+    import dataclasses
+    import time
+
+    from favae_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from favae_tpu.config import cat_celebahq
+    from favae_tpu.models.txt_cond import build_cat
+    from favae_tpu.train.cat_step import (
+        create_cat_state, make_cat_optimizer, make_cat_train_step)
+
     cfg = cat_celebahq()
     cfg = dataclasses.replace(
         cfg, adam_mu_dtype=mu_dtype,
@@ -52,6 +63,7 @@ def run(mu_dtype: str) -> np.ndarray:
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(LR))
     state = create_cat_state(cat, gpt_params, tx)
+    del gpt_params  # the state holds the live copy; don't pin a second one
     frozen = cat.frozen_params()
     step = jax.jit(make_cat_train_step(cat, tx), donate_argnums=0)
 
@@ -73,7 +85,22 @@ def run(mu_dtype: str) -> np.ndarray:
             print(f"# [{mu_dtype}] step {i} loss {losses[i]:.4f} "
                   f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
                   flush=True)
-    return losses
+    np.save(out_path, losses)
+
+
+def run(mu_dtype: str) -> np.ndarray:
+    out = os.path.join(tempfile.gettempdir(), f"mu_curve_{mu_dtype}.npy")
+    if os.path.exists(out):
+        os.unlink(out)
+    env = dict(os.environ, FAVAE_MU_CHILD=mu_dtype, FAVAE_MU_OUT=out)
+    for attempt in (1, 2):
+        rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env).returncode
+        if rc == 0:
+            return np.load(out)
+        print(f"# child [{mu_dtype}] attempt {attempt} rc={rc}",
+              file=sys.stderr, flush=True)
+    raise RuntimeError(f"both child attempts failed for {mu_dtype}")
 
 
 def main():
@@ -104,11 +131,13 @@ def main():
 
 
 if __name__ == "__main__":
-    from favae_tpu.utils.backend import (call_with_backend_retry,
-                                         wait_for_backend)
+    if os.environ.get("FAVAE_MU_CHILD"):
+        child(os.environ["FAVAE_MU_CHILD"], os.environ["FAVAE_MU_OUT"])
+        sys.exit(0)
+    from favae_tpu.utils.backend import wait_for_backend
     _log = lambda m: print(f"# {m}", file=sys.stderr, flush=True)
     if not wait_for_backend(tries=4, delay_s=90.0, log=_log):
         print(json.dumps({"metric": "CAT bf16-Adam-mu convergence validation",
                           "error": "TPU backend unavailable"}))
         sys.exit(1)
-    call_with_backend_retry(main, tries=4, delay_s=90.0, log=_log)
+    main()
