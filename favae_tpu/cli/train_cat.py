@@ -55,6 +55,13 @@ def build_parser():
     p.add_argument("--min_lr", type=float, default=0.0)
     p.add_argument("--base_lr", type=float, default=2e-6)
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N microbatches, scan "
+                        "value_and_grad over them and apply ONE averaged "
+                        "update — trains effective batches that OOM as a "
+                        "single activation footprint (e.g. 24 = 2x12 on a "
+                        "16G v5e; see docs/PERFORMANCE.md). batch_size must "
+                        "be divisible by N")
     p.add_argument("--save_every_epoch", type=int, default=1)
     p.add_argument("--favae_ckpt", type=str, default=None,
                    help="reference-format FA-VAE checkpoint (.pt) or None for "
@@ -217,7 +224,8 @@ def main(argv=None):
                          clip_params=clip_params, tokenizer=tokenizer,
                          log_dir=os.path.join(save_path, "runs"),
                          enabled_warmup=args.enabled_warmup, tp=args.tp,
-                         save_every_epoch=args.save_every_epoch)
+                         save_every_epoch=args.save_every_epoch,
+                         grad_accum=args.grad_accum)
     if args.resume or args.resume_path:
         trainer.resume(args.resume_path)
     print0(f"devices={jax.device_count()} global_batch={global_batch}")

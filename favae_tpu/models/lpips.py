@@ -38,6 +38,25 @@ _SHIFT = (-0.030, -0.088, -0.188)
 _SCALE = (0.458, 0.448, 0.450)
 
 
+def max_pool_2x2(h):
+    """2x2/stride-2 max pool via reshape + reduce, NHWC.
+
+    Equivalent forward to `nn.max_pool(h, (2, 2), strides=(2, 2))` (floor
+    semantics: odd trailing row/col dropped, like torch MaxPool2d). The point
+    is the BACKWARD: reduce_window's VJP lowers to select-and-scatter, which
+    is serial-ish on TPU (~4 ms/step in the r2 profile, the last recoverable
+    fat in the faithful train step). jnp.max over an exposed window axis
+    instead gets the eq-mask VJP — elementwise compare + broadcast that XLA
+    fuses for free. Tie semantics differ only on exact float ties (eq-mask
+    splits the cotangent across ties; select-and-scatter picks one) — measure
+    zero after a conv, and irrelevant to the loss value itself.
+    """
+    n, H, W, c = h.shape
+    h = h[:, : (H // 2) * 2, : (W // 2) * 2, :]
+    h = h.reshape(n, H // 2, 2, W // 2, 2, c)
+    return jnp.max(h, axis=(2, 4))
+
+
 class VGG16Features(nn.Module):
     """VGG16 feature slices; input NHWC in [-1, 1]-normalized space already
     passed through the scaling layer. MaxPool between slices."""
@@ -51,7 +70,7 @@ class VGG16Features(nn.Module):
         h = x.astype(self.dtype)
         for s, convs in enumerate(VGG_SLICES):
             if s > 0:
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                h = max_pool_2x2(h)
             for c in convs:
                 h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, name=f"conv_{conv_idx}")(h)

@@ -61,21 +61,56 @@ def create_cat_state(cat: CATModel, gpt_params, tx) -> CATTrainState:
                          step=jnp.int32(0))
 
 
-def make_cat_train_step(cat: CATModel, tx) -> Callable:
+def make_cat_train_step(cat: CATModel, tx, grad_accum: int = 1) -> Callable:
     """The jitted step takes the frozen first-stage/conditioning params as a
     SEPARATE, non-donated argument: closing over them would bake ~400MB of
     constants into the graph (overwhelming the remote compile service), and
-    carrying them inside the donated state would delete the host copies."""
+    carrying them inside the donated state would delete the host copies.
+
+    `grad_accum > 1` splits the leading batch axis into `grad_accum` equal
+    microbatches and lax.scans value_and_grad over them, averaging grads
+    before ONE optimizer update — identical update semantics to the full
+    batch (the CE loss is a batch mean, so the microbatch-grad mean IS the
+    full-batch grad; pinned by `test_cat_grad_accum_matches_full_batch`).
+    Peak activation memory drops to one microbatch's worth, which is how a
+    16G chip trains effective batches the B=24 compile-time OOM ruled out
+    (docs/PERFORMANCE.md) — beyond-reference capability: the torch trainer
+    has no accumulation (cat_scripts/train_cat.py:69-109). Each microbatch
+    folds its index into the dropout rng so masks stay independent."""
 
     def train_step(state: CATTrainState, frozen, x, text_ids, rng
                    ) -> Tuple[CATTrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(gpt_params):
-            return cat.gpt_loss(gpt_params, x, text_ids, rng=rng, train=True,
-                                frozen=frozen)
+        def loss_and_grads(xi, ti, r):
+            def loss_fn(gpt_params):
+                return cat.gpt_loss(gpt_params, xi, ti, rng=r, train=True,
+                                    frozen=frozen)
+            return jax.value_and_grad(loss_fn)(state.gpt_params)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.gpt_params)
+        if grad_accum == 1:
+            loss, grads = loss_and_grads(x, text_ids, rng)
+        else:
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by grad_accum={grad_accum}")
+            mb = x.shape[0] // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ts = text_ids.reshape(grad_accum, mb, *text_ids.shape[1:])
+
+            def body(acc, inp):
+                xi, ti, i = inp
+                li, gi = loss_and_grads(xi, ti, jax.random.fold_in(rng, i))
+                return (acc[0] + li,
+                        jax.tree_util.tree_map(jnp.add, acc[1], gi)), None
+
+            zero = (jnp.zeros((), jnp.float32),
+                    jax.tree_util.tree_map(jnp.zeros_like, state.gpt_params))
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, zero, (xs, ts, jnp.arange(grad_accum)))
+            loss = loss_sum / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.gpt_params)
         gpt_params = optax.apply_updates(state.gpt_params, updates)
         new_state = state.replace(gpt_params=gpt_params, opt_state=opt_state,

@@ -47,7 +47,8 @@ class CATTrainer:
                  batch_size: int, favae_variables=None, cb_state=None,
                  clip_params=None, tokenizer=None,
                  log_dir: Optional[str] = None, enabled_warmup: bool = True,
-                 seed: int = 0, tp: int = 1, save_every_epoch: int = 1):
+                 seed: int = 0, tp: int = 1, save_every_epoch: int = 1,
+                 grad_accum: int = 1):
         self.cfg = cfg
         n_dev = jax.device_count()
         self.mesh = None
@@ -74,8 +75,9 @@ class CATTrainer:
             self.cat.cb_state = replicate_tree(self.cat.cb_state, self.mesh)
         self.frozen = self.cat.frozen_params()
 
-        self.train_step = jax.jit(make_cat_train_step(self.cat, self.tx),
-                                  donate_argnums=0)
+        self.train_step = jax.jit(
+            make_cat_train_step(self.cat, self.tx, grad_accum=grad_accum),
+            donate_argnums=0)
         self.eval_step = jax.jit(make_cat_eval_step(self.cat))
 
         self.ckpt = CheckpointManager(save_dir, save_every_epoch)

@@ -59,6 +59,14 @@ def main():
         seq = cfg.gpt.image_encoded_dim ** 2
         print(f"quantized={quant} B={b}: {dt*1e3:.0f} ms/call -> "
               f"{b/dt:.2f} imgs/s, {dt/seq*1e3:.2f} ms/token")
+        # machine-readable line for scripts/summarize_chip_logs.py
+        import json
+        print(json.dumps({
+            "metric": f"CAT sampling pipeline (quantized={quant})",
+            "value": round(b / dt, 2), "unit": "imgs/s",
+            "batch": b, "ms_per_call": round(dt * 1e3, 1),
+            "ms_per_token": round(dt / seq * 1e3, 2),
+            "sync": "int(jnp.sum(grid)) host fetch of the token grid"}))
 
 
 if __name__ == "__main__":

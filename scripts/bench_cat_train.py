@@ -78,6 +78,7 @@ def main():
     import dataclasses
 
     b = int(os.environ.get("B", "8"))
+    ga = int(os.environ.get("GA", "1"))  # grad accumulation: b = GA x (b/GA)
     cfg = cat_celebahq()
     remat = os.environ.get("REMAT", "dots_nb")
     unroll = int(os.environ.get("UNROLL", "1"))
@@ -92,7 +93,8 @@ def main():
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
     frozen = cat.frozen_params()
-    step = jax.jit(make_cat_train_step(cat, tx), donate_argnums=0)
+    step = jax.jit(make_cat_train_step(cat, tx, grad_accum=ga),
+                   donate_argnums=0)
 
     x = jnp.asarray(np.random.RandomState(0).rand(b, 256, 256, 3)
                     .astype(np.float32) * 2 - 1)
@@ -131,6 +133,7 @@ def main():
     out = {
         "metric": "CAT gpt2_medium train step (full pipeline @256px)",
         "batch": b,
+        "grad_accum": ga,
         "remat": remat,
         "unroll": unroll,
         "adam_mu_dtype": mu_dtype,

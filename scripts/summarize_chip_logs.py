@@ -91,12 +91,24 @@ def _fmt_result(r):
         return f"TIMING-INVALID ({r['timing_invalid']}) — do not cite"
     if r.get("error"):
         return f"ERROR: {r['error'][:80]}"
-    val = r.get("value")
-    cell = f"{val} {r.get('unit', '')}".strip()
+    if "value" in r:
+        cell = f"{r['value']} {r.get('unit', '')}".strip()
+    elif "samples_per_sec" in r:
+        # CAT-bench lines carry samples_per_sec (+pipelined_*) instead of a
+        # generic value — r5 SUMMARY.md printed "None" for every CAT row
+        cell = f"{r['samples_per_sec']} samples/s"
+        if "pipelined_samples_per_sec" in r:
+            cell += f" ({r['pipelined_samples_per_sec']} pipelined)"
+    elif isinstance(r.get("final"), dict) and "imgs_per_sec" in r["final"]:
+        # long_horizon_drive lines: sustained throughput + final loss
+        cell = (f"{r['final']['imgs_per_sec']} imgs/s sustained, "
+                f"loss_g={r['final'].get('loss_g')}")
+    else:
+        cell = ""
     extras = []
     for k in ("step_ms", "mfu_pct", "tflops", "pct_of_synthetic",
               "gap_over_noise", "neutral", "final_window_gap",
-              "cb_usage_pct_final", "steps"):
+              "cb_usage_pct_final", "steps", "all_finite"):
         if k in r:
             extras.append(f"{k}={r[k]}")
     if r.get("loader_fed"):

@@ -82,3 +82,17 @@ def test_empty_dir_is_graceful(tmp_path):
     d.mkdir()
     assert summarize(str(d)) == []
     assert main([str(d)]) == 0
+
+
+def test_cat_rows_format_samples_per_sec(tmp_path):
+    """CAT bench lines have samples_per_sec instead of value — the cell must
+    show them, not 'None' (r5 SUMMARY.md regression)."""
+    import importlib
+    scl = importlib.import_module("summarize_chip_logs")
+    cell = scl._fmt_result({
+        "metric": "CAT gpt2_medium train step", "samples_per_sec": 78.57,
+        "pipelined_samples_per_sec": 94.43, "step_ms": 203.6,
+        "mfu_pct": 44.3, "tflops": 87.4})
+    assert "78.57 samples/s" in cell
+    assert "94.43 pipelined" in cell
+    assert "None" not in cell

@@ -500,3 +500,64 @@ def test_generate_cli_resolve_cfg():
     assert cfg.gpt.vocab_size == 8192
     assert cfg.gpt.n_head == 24  # gpt2_mini, not medium
     assert cfg.gpt.n_cond_embed == base.gpt.n_cond_embed
+
+
+def test_cat_grad_accum_matches_full_batch():
+    """grad_accum=N must produce the SAME parameter update as the full batch
+    (the CE loss is a batch mean, so averaging microbatch grads IS the
+    full-batch grad). dropout=0 so the only difference is reduction order;
+    also checks the divisibility guard."""
+    import dataclasses
+    import optax
+    import pytest
+    from favae_tpu.models.txt_cond import build_cat
+    from favae_tpu.train.cat_step import (
+        create_cat_state, make_cat_optimizer, make_cat_train_step)
+
+    cfg = tiny_cat_cfg()
+    # dropout=0 and cond_drop_prob=0: both draw per-sample/per-activation
+    # masks from the rng, which legitimately differ between one full-batch
+    # draw and per-microbatch draws — zero them so the update must be EQUAL
+    cfg = dataclasses.replace(
+        cfg, gpt=dataclasses.replace(cfg.gpt, dropout=0.0,
+                                     cond_drop_prob=0.0))
+    cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+    # SGD lr=1.0 so (params_old - params_new) IS the averaged gradient:
+    # comparing raw grads avoids Adam's 1/sqrt(v) amplification of bf16
+    # reduction-order noise while still catching the real failure modes
+    # (missing /grad_accum -> grads off by 2-4x; wrong microbatch split)
+    tx = optax.sgd(1.0)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3)
+                    .astype(np.float32) * 2 - 1)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 50, (4, 8))
+                      .astype(np.int32))
+    frozen = cat.frozen_params()
+    rng = jax.random.PRNGKey(2)
+
+    def grads_of(ga):
+        state = create_cat_state(cat, gpt_params, tx)
+        step = jax.jit(make_cat_train_step(cat, tx, grad_accum=ga))
+        new_state, m = step(state, frozen, x, ids, rng)
+        g = jax.tree_util.tree_map(lambda a, b: a - b,
+                                   gpt_params, new_state.gpt_params)
+        return float(m["loss_gpt"]), g
+
+    loss1, g1 = grads_of(1)
+    for ga in (2, 4):
+        loss_g, gg = grads_of(ga)
+        assert abs(loss_g - loss1) < 1e-4
+        scale = max(float(jnp.abs(l).max())
+                    for l in jax.tree_util.tree_leaves(g1))
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(gg)):
+            # bf16 forward noise between reduction orders; an unscaled
+            # accumulation would be off by 100% of each grad's own value
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3 * scale)
+
+    # non-divisible batch must raise at trace time
+    bad = jax.jit(make_cat_train_step(cat, tx, grad_accum=3))
+    state = create_cat_state(cat, gpt_params, tx)
+    with pytest.raises(ValueError, match="not divisible"):
+        bad(state, frozen, x, ids, rng)

@@ -151,3 +151,34 @@ def test_dft2_matches_numpy_fft():
         ref = np.fft.fft2(x, axes=(1, 2), norm="ortho")
         np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-4)
         np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-4)
+
+
+def test_max_pool_2x2_matches_reduce_window_fwd_and_bwd():
+    """lpips.max_pool_2x2 (reshape+max; cheap eq-mask VJP) must equal
+    nn.max_pool (reduce_window; select-and-scatter VJP) in forward exactly,
+    and in backward on tie-free input. Also pins floor semantics on odd dims
+    (torch MaxPool2d drops the trailing row/col)."""
+    from flax import linen as nn
+    from favae_tpu.models.lpips import max_pool_2x2
+
+    rng = np.random.RandomState(11)
+    # tie-free with overwhelming probability: continuous random floats
+    x = jnp.asarray(rng.randn(2, 8, 10, 3).astype(np.float32))
+
+    ref_fn = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))
+    np.testing.assert_array_equal(np.asarray(max_pool_2x2(x)),
+                                  np.asarray(ref_fn(x)))
+
+    g = jnp.asarray(rng.randn(2, 4, 5, 3).astype(np.float32))
+    _, vjp_new = jax.vjp(max_pool_2x2, x)
+    _, vjp_ref = jax.vjp(ref_fn, x)
+    np.testing.assert_allclose(np.asarray(vjp_new(g)[0]),
+                               np.asarray(vjp_ref(g)[0]), atol=1e-6)
+
+    # odd spatial dims: floor semantics (trailing row/col dropped), matching
+    # torch's default MaxPool2d and the reference VGG16 tower
+    xo = jnp.asarray(rng.randn(1, 7, 9, 2).astype(np.float32))
+    to = torch.nn.functional.max_pool2d(
+        torch.from_numpy(np.asarray(xo)).permute(0, 3, 1, 2), 2, 2)
+    np.testing.assert_allclose(np.asarray(max_pool_2x2(xo)),
+                               to.permute(0, 2, 3, 1).numpy(), atol=1e-7)
