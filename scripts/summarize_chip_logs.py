@@ -122,6 +122,20 @@ def summarize(log_dir):
     for name, st in statuses.items():
         results = parse_metric_lines(os.path.join(log_dir, name + ".log"))
         rows.append({**st, "results": results})
+    # Ad-hoc logs: rows run OUTSIDE the queue (builder-driven follow-ups —
+    # the r5 remat grid, grad-accum shapes, post-rewrite re-benches) land as
+    # plain <name>.log files in the same dir with no queue.log entry. List
+    # any that carry metric lines so SUMMARY.md covers the whole directory.
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".log") or fn == "queue.log":
+            continue
+        name = fn[:-len(".log")]
+        if name in statuses:
+            continue
+        results = parse_metric_lines(os.path.join(log_dir, fn))
+        if results:
+            rows.append({"name": name, "status": "ad-hoc (not a queue row)",
+                         "results": results})
     return rows
 
 

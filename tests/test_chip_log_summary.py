@@ -96,3 +96,21 @@ def test_cat_rows_format_samples_per_sec(tmp_path):
     assert "78.57 samples/s" in cell
     assert "94.43 pipelined" in cell
     assert "None" not in cell
+
+
+def test_adhoc_logs_outside_queue_are_listed(tmp_path):
+    """Measurement logs dropped in the dir WITHOUT a queue.log entry (the r5
+    remat grid / grad-accum / post-rewrite re-benches were run builder-driven,
+    not as queue rows) must still appear in SUMMARY.md — but only if they
+    carry a metric line (scratch logs stay invisible)."""
+    d = _mkdir(tmp_path)
+    (d / "bench_expe5_postpool.log").write_text(BENCH_LOG)
+    (d / "scratch_no_metrics.log").write_text("compile warnings only\n")
+    rows = summarize(str(d))
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["bench_expe5_postpool"]["status"] == \
+        "ad-hoc (not a queue row)"
+    assert by_name["bench_expe5_postpool"]["results"][0]["value"] == 60.54
+    assert "scratch_no_metrics" not in by_name
+    md = to_markdown(rows)
+    assert "| bench_expe5_postpool | ad-hoc (not a queue row) |" in md
