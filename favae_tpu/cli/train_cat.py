@@ -62,6 +62,15 @@ def build_parser():
                         "single activation footprint (e.g. 24 = 2x12 on a "
                         "16G v5e; see docs/PERFORMANCE.md). batch_size must "
                         "be divisible by N")
+    p.add_argument("--cache_latents", action="store_true",
+                   help="precompute the frozen FA-VAE token ids and CLIP "
+                        "text embeddings ONCE before training and train the "
+                        "GPT from the cache: removes the per-step frozen-"
+                        "tower recompute (~9%% of the r5 chip step) and "
+                        "frees their params + encoder activations from "
+                        "device memory; update-for-update identical to the "
+                        "full pipeline. Costs ~237 KB host RAM per sample "
+                        "(ViT-L/14)")
     p.add_argument("--save_every_epoch", type=int, default=1)
     p.add_argument("--favae_ckpt", type=str, default=None,
                    help="reference-format FA-VAE checkpoint (.pt) or None for "
@@ -225,7 +234,8 @@ def main(argv=None):
                          log_dir=os.path.join(save_path, "runs"),
                          enabled_warmup=args.enabled_warmup, tp=args.tp,
                          save_every_epoch=args.save_every_epoch,
-                         grad_accum=args.grad_accum)
+                         grad_accum=args.grad_accum,
+                         cache_latents=args.cache_latents)
     if args.resume or args.resume_path:
         trainer.resume(args.resume_path)
     print0(f"devices={jax.device_count()} global_batch={global_batch}")

@@ -93,6 +93,21 @@ class CATModel:
                              frozen.get("cb_state"))
         embeds, mask = self.encode_text_ids(text_ids,
                                             frozen.get("clip_params"))
+        return self.gpt_loss_from_latents(gpt_params, z, embeds, mask,
+                                          rng=rng, train=train)
+
+    def gpt_loss_from_latents(self, gpt_params, z, embeds, mask, *, rng,
+                              train: bool = True):
+        """`gpt_loss` from PRECOMPUTED frozen-tower outputs: z token ids
+        (B, L) from `encode_to_z`, CLIP token embeds/mask from
+        `encode_text_ids`. Bitwise-identical to `gpt_loss` given the same
+        latents (the frozen towers are deterministic) — pinned by
+        tests/test_cat_latent_cache.py. Beyond-reference capability: the
+        torch trainer re-encodes every batch through the frozen towers each
+        epoch (cat_scripts/train_cat.py:69-109 -> txt_cond_transformer.py:
+        134-150); caching removes that recompute (~9% of the r5 on-chip
+        step profile) and frees the frozen params + encoder activations
+        from device memory."""
         inp = z[:, :-1]
         # eval: deterministic CE by default; cfg.eval_cond_drop reproduces the
         # reference's always-on cond drop (see CATConfig.eval_cond_drop)

@@ -80,44 +80,85 @@ def make_cat_train_step(cat: CATModel, tx, grad_accum: int = 1) -> Callable:
 
     def train_step(state: CATTrainState, frozen, x, text_ids, rng
                    ) -> Tuple[CATTrainState, Dict[str, jax.Array]]:
-        rng = jax.random.fold_in(rng, state.step)
+        def loss_for(gpt_params, batch, r):
+            xi, ti = batch
+            return cat.gpt_loss(gpt_params, xi, ti, rng=r, train=True,
+                                frozen=frozen)
 
-        def loss_and_grads(xi, ti, r):
-            def loss_fn(gpt_params):
-                return cat.gpt_loss(gpt_params, xi, ti, rng=r, train=True,
-                                    frozen=frozen)
-            return jax.value_and_grad(loss_fn)(state.gpt_params)
-
-        if grad_accum == 1:
-            loss, grads = loss_and_grads(x, text_ids, rng)
-        else:
-            if x.shape[0] % grad_accum:
-                raise ValueError(
-                    f"batch {x.shape[0]} not divisible by grad_accum={grad_accum}")
-            mb = x.shape[0] // grad_accum
-            xs = x.reshape(grad_accum, mb, *x.shape[1:])
-            ts = text_ids.reshape(grad_accum, mb, *text_ids.shape[1:])
-
-            def body(acc, inp):
-                xi, ti, i = inp
-                li, gi = loss_and_grads(xi, ti, jax.random.fold_in(rng, i))
-                return (acc[0] + li,
-                        jax.tree_util.tree_map(jnp.add, acc[1], gi)), None
-
-            zero = (jnp.zeros((), jnp.float32),
-                    jax.tree_util.tree_map(jnp.zeros_like, state.gpt_params))
-            (loss_sum, grad_sum), _ = jax.lax.scan(
-                body, zero, (xs, ts, jnp.arange(grad_accum)))
-            loss = loss_sum / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.gpt_params)
-        gpt_params = optax.apply_updates(state.gpt_params, updates)
-        new_state = state.replace(gpt_params=gpt_params, opt_state=opt_state,
-                                  step=state.step + 1)
-        return new_state, {"loss_gpt": loss}
+        loss, grads = _loss_grads_accum(loss_for, state.gpt_params,
+                                        (x, text_ids),
+                                        jax.random.fold_in(rng, state.step),
+                                        grad_accum)
+        return _apply_update(state, tx, loss, grads)
 
     return train_step
+
+
+def make_cat_latent_train_step(cat: CATModel, tx, grad_accum: int = 1
+                               ) -> Callable:
+    """Train step over PRECOMPUTED latents (z token ids, CLIP token embeds,
+    text mask — see `CATModel.gpt_loss_from_latents`). No frozen-params
+    argument: the frozen FA-VAE/CLIP towers never enter this jit, so their
+    ~0.6 GB of params and the 256px encoder activations stay out of device
+    memory entirely. Given latents produced by the same frozen encode, the
+    update is bitwise-identical to `make_cat_train_step`
+    (tests/test_cat_latent_cache.py)."""
+
+    def train_step(state: CATTrainState, z, embeds, mask, rng
+                   ) -> Tuple[CATTrainState, Dict[str, jax.Array]]:
+        def loss_for(gpt_params, batch, r):
+            zi, ei, mi = batch
+            return cat.gpt_loss_from_latents(gpt_params, zi, ei, mi,
+                                             rng=r, train=True)
+
+        loss, grads = _loss_grads_accum(loss_for, state.gpt_params,
+                                        (z, embeds, mask),
+                                        jax.random.fold_in(rng, state.step),
+                                        grad_accum)
+        return _apply_update(state, tx, loss, grads)
+
+    return train_step
+
+
+def _loss_grads_accum(loss_for, params, batch, rng, grad_accum):
+    """value_and_grad of ``loss_for(params, batch, rng)``, optionally
+    accumulated over ``grad_accum`` equal microbatches along the leading
+    axis (lax.scan, grads averaged — identical update semantics to the full
+    batch since the CE loss is a batch mean). Each microbatch folds its
+    index into the rng so dropout masks stay independent."""
+    def loss_and_grads(arrs, r):
+        return jax.value_and_grad(
+            lambda p: loss_for(p, arrs, r))(params)
+
+    if grad_accum == 1:
+        return loss_and_grads(batch, rng)
+    b = batch[0].shape[0]
+    if b % grad_accum:
+        raise ValueError(
+            f"batch {b} not divisible by grad_accum={grad_accum}")
+    mb = b // grad_accum
+    split = tuple(a.reshape(grad_accum, mb, *a.shape[1:]) for a in batch)
+
+    def body(acc, inp):
+        li, gi = loss_and_grads(inp[:-1], jax.random.fold_in(rng, inp[-1]))
+        return (acc[0] + li,
+                jax.tree_util.tree_map(jnp.add, acc[1], gi)), None
+
+    zero = (jnp.zeros((), jnp.float32),
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+    (loss_sum, grad_sum), _ = jax.lax.scan(
+        body, zero, (*split, jnp.arange(grad_accum)))
+    loss = loss_sum / grad_accum
+    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
+    return loss, grads
+
+
+def _apply_update(state, tx, loss, grads):
+    updates, opt_state = tx.update(grads, state.opt_state, state.gpt_params)
+    gpt_params = optax.apply_updates(state.gpt_params, updates)
+    new_state = state.replace(gpt_params=gpt_params, opt_state=opt_state,
+                              step=state.step + 1)
+    return new_state, {"loss_gpt": loss}
 
 
 def make_cat_eval_step(cat: CATModel) -> Callable:
@@ -125,6 +166,16 @@ def make_cat_eval_step(cat: CATModel) -> Callable:
         loss = cat.gpt_loss(state.gpt_params, x, text_ids,
                             rng=jax.random.PRNGKey(0), train=False,
                             frozen=frozen)
+        return {"loss_gpt": loss}
+
+    return eval_step
+
+
+def make_cat_latent_eval_step(cat: CATModel) -> Callable:
+    def eval_step(state: CATTrainState, z, embeds, mask):
+        loss = cat.gpt_loss_from_latents(state.gpt_params, z, embeds, mask,
+                                         rng=jax.random.PRNGKey(0),
+                                         train=False)
         return {"loss_gpt": loss}
 
     return eval_step

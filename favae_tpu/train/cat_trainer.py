@@ -27,6 +27,8 @@ from favae_tpu.models.txt_cond import CATModel, build_cat
 from favae_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from favae_tpu.parallel.sharding import gpt_param_pspec
 from favae_tpu.train.cat_step import (create_cat_state, make_cat_eval_step,
+                                      make_cat_latent_eval_step,
+                                      make_cat_latent_train_step,
                                       make_cat_optimizer, make_cat_train_step)
 from favae_tpu.train.schedule import make_step_schedule
 from favae_tpu.utils.checkpoint import CheckpointManager
@@ -48,7 +50,7 @@ class CATTrainer:
                  clip_params=None, tokenizer=None,
                  log_dir: Optional[str] = None, enabled_warmup: bool = True,
                  seed: int = 0, tp: int = 1, save_every_epoch: int = 1,
-                 grad_accum: int = 1):
+                 grad_accum: int = 1, cache_latents: bool = False):
         self.cfg = cfg
         n_dev = jax.device_count()
         self.mesh = None
@@ -75,10 +77,20 @@ class CATTrainer:
             self.cat.cb_state = replicate_tree(self.cat.cb_state, self.mesh)
         self.frozen = self.cat.frozen_params()
 
-        self.train_step = jax.jit(
-            make_cat_train_step(self.cat, self.tx, grad_accum=grad_accum),
-            donate_argnums=0)
-        self.eval_step = jax.jit(make_cat_eval_step(self.cat))
+        self.cache_latents = cache_latents
+        if cache_latents:
+            # the frozen towers never enter these jits -> their params and
+            # 256px encoder activations stay out of device memory
+            self.train_step = jax.jit(
+                make_cat_latent_train_step(self.cat, self.tx,
+                                           grad_accum=grad_accum),
+                donate_argnums=0)
+            self.eval_step = jax.jit(make_cat_latent_eval_step(self.cat))
+        else:
+            self.train_step = jax.jit(
+                make_cat_train_step(self.cat, self.tx, grad_accum=grad_accum),
+                donate_argnums=0)
+            self.eval_step = jax.jit(make_cat_eval_step(self.cat))
 
         self.ckpt = CheckpointManager(save_dir, save_every_epoch)
         self.writer = MetricWriter(log_dir)
@@ -128,6 +140,46 @@ class CATTrainer:
         text_ids = self.cat.tokenize(captions)
         return self._place(x), self._place(text_ids), captions
 
+    def _step_args(self, batch):
+        """Per-batch step inputs for either pipeline.
+
+        Full pipeline: (frozen, x, text_ids); cached latents: (z, embeds,
+        mask). Returns (step_args, batch_size, text_ids, captions, x_or_z) —
+        the trailing three feed sample logging."""
+        if self.cache_latents:
+            z, embeds, mask, text_ids, captions = batch
+            args = (self._place(z), self._place(embeds), self._place(mask))
+            return args, z.shape[0], text_ids, captions, z
+        x, text_ids, captions = self._prep_batch(batch)
+        return (self.frozen, x, text_ids), x.shape[0], text_ids, captions, x
+
+    def _gt_images(self, x_or_z, n=4):
+        """Ground-truth panel for the sample grid: the images themselves on
+        the full pipeline; on the latent pipeline the FA-VAE decode of the
+        cached z (the GT images are never loaded there)."""
+        if not self.cache_latents:
+            return np.asarray(x_or_z[:n])
+        g = self.cfg.gpt.image_encoded_dim
+        grid = jnp.asarray(np.asarray(x_or_z)[:n].reshape(-1, g, g))
+        return np.asarray(self.cat.decode_to_img(grid))
+
+    def _latent_loader(self, loader):
+        """Precompute frozen-tower outputs for loader.ds and wrap them in a
+        DataLoader with the SAME shuffle/seed/sharding, so batch order —
+        and therefore the update sequence — matches the full pipeline
+        exactly (pinned by tests/test_cat_latent_cache.py)."""
+        from favae_tpu.data.latent_cache import precompute_latents
+        from favae_tpu.data.pipeline import DataLoader
+        ds = precompute_latents(self.cat, loader.ds, loader.batch_size,
+                                frozen=self.frozen, place=self._place,
+                                num_workers=loader.num_workers, log=print0)
+        return DataLoader(ds, batch_size=loader.batch_size,
+                          shuffle=loader.shuffle, seed=loader.seed,
+                          drop_last=loader.drop_last,
+                          num_workers=loader.num_workers,
+                          shard_index=loader.shard_index,
+                          shard_count=loader.shard_count)
+
     def train_epoch(self, loader, epoch: int, print_steps=10, img_steps=1000):
         import time
         loader.set_epoch(epoch)
@@ -136,9 +188,9 @@ class CATTrainer:
         t_last = time.perf_counter()
         seen = 0
         for step, batch in enumerate(loader):
-            x, text_ids, captions = self._prep_batch(batch)
-            self.state, m = self.train_step(self.state, self.frozen, x, text_ids, self.rng)
-            seen += x.shape[0]
+            args, bsz, text_ids, captions, x_or_z = self._step_args(batch)
+            self.state, m = self.train_step(self.state, *args, self.rng)
+            seen += bsz
             gstep = epoch * steps_per_epoch + step
             if step % print_steps == 0:
                 loss = float(m["loss_gpt"])
@@ -153,8 +205,8 @@ class CATTrainer:
                 print0(f"epoch {epoch} step {step} loss_gpt={loss:.4f} "
                        f"lr={lr_now:.3e} samples/s={sps:.2f}")
             if img_steps and gstep % img_steps == 0:
-                self._log_samples("train/from-cond", x, text_ids, captions,
-                                  gstep)
+                self._log_samples("train/from-cond", self._gt_images(x_or_z),
+                                  text_ids, captions, gstep)
         return last_loss
 
     def _log_samples(self, name, x, text_ids, captions, step, n=4):
@@ -173,22 +225,26 @@ class CATTrainer:
         total, n = 0.0, 0
         last = None
         for batch in loader:
-            x, text_ids, captions = self._prep_batch(batch)
-            m = self.eval_step(self.state, self.frozen, x, text_ids)
-            total = total + m["loss_gpt"] * x.shape[0]
-            n += x.shape[0]
-            last = (x, text_ids, captions)
+            args, bsz, text_ids, captions, x_or_z = self._step_args(batch)
+            m = self.eval_step(self.state, *args)
+            total = total + m["loss_gpt"] * bsz
+            n += bsz
+            last = (x_or_z, text_ids, captions)
         val = float(total) / max(n, 1)
         self.writer.scalars("val", {"loss_gpt": val}, epoch)
         if last is not None:
-            self._log_samples("val/from-cond", last[0], last[1], last[2],
-                              epoch)
+            self._log_samples("val/from-cond", self._gt_images(last[0]),
+                              last[1], last[2], epoch)
         print0(f"=== validate CAT epoch {epoch}: loss_gpt={val:.4f}")
         return val
 
     def fit(self, train_loader, val_loader, epochs: Optional[int] = None,
             print_steps=10, img_steps=1000):
         epochs = epochs or self.cfg.epochs
+        if self.cache_latents:
+            train_loader = self._latent_loader(train_loader)
+            val_loader = (self._latent_loader(val_loader)
+                          if val_loader else val_loader)
         for epoch in range(self.start_epoch, epochs):
             self.train_epoch(train_loader, epoch, print_steps, img_steps)
             score = (self.validate(val_loader, epoch)

@@ -33,7 +33,8 @@ import optax  # noqa: E402
 from favae_tpu.config import cat_celebahq  # noqa: E402
 from favae_tpu.models.txt_cond import build_cat  # noqa: E402
 from favae_tpu.train.cat_step import (  # noqa: E402
-    create_cat_state, make_cat_optimizer, make_cat_train_step)
+    create_cat_state, make_cat_latent_train_step, make_cat_optimizer,
+    make_cat_train_step)
 
 from favae_tpu.utils.benchgate import (  # noqa: E402
     V5E_BF16_PEAK_TFLOPS, apply_sanity_gate)
@@ -89,21 +90,39 @@ def main():
         gpt=dataclasses.replace(cfg.gpt, remat=remat,
                                 train_unroll=unroll,
                                 fold_ln_scale=fold_ln))
+    # CACHE_LATENTS=1: bench the precomputed-latent step (--cache_latents in
+    # the CLI) — the frozen towers never enter the jit (see
+    # favae_tpu/data/latent_cache.py). MFU numerator then counts GPT
+    # fwd+bwd only (no frozen-tower FLOPs are executed).
+    cache_latents = os.environ.get("CACHE_LATENTS", "0") == "1"
+
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
     state = create_cat_state(cat, gpt_params, tx)
-    frozen = cat.frozen_params()
-    step = jax.jit(make_cat_train_step(cat, tx, grad_accum=ga),
-                   donate_argnums=0)
-
-    x = jnp.asarray(np.random.RandomState(0).rand(b, 256, 256, 3)
-                    .astype(np.float32) * 2 - 1)
-    ids = jnp.asarray(np.random.RandomState(1).randint(1, 40000, (b, 77)),
-                      jnp.int32)
     rng = jax.random.PRNGKey(2)
 
+    if cache_latents:
+        seq = cfg.gpt.image_encoded_dim ** 2
+        z = jnp.asarray(np.random.RandomState(0).randint(
+            0, cfg.vqgan.quantizer.codebook_size, (b, seq)), jnp.int32)
+        embeds = jnp.asarray(np.random.RandomState(1).randn(
+            b, 77, cfg.gpt.n_cond_embed).astype(np.float32))
+        mask = jnp.asarray(np.random.RandomState(2).rand(b, 77) < 0.5)
+        step_fn = jax.jit(make_cat_latent_train_step(cat, tx, grad_accum=ga),
+                          donate_argnums=0)
+        step = lambda state, rng: step_fn(state, z, embeds, mask, rng)
+    else:
+        frozen = cat.frozen_params()
+        x = jnp.asarray(np.random.RandomState(0).rand(b, 256, 256, 3)
+                        .astype(np.float32) * 2 - 1)
+        ids = jnp.asarray(np.random.RandomState(1).randint(1, 40000, (b, 77)),
+                          jnp.int32)
+        step_fn = jax.jit(make_cat_train_step(cat, tx, grad_accum=ga),
+                          donate_argnums=0)
+        step = lambda state, rng: step_fn(state, frozen, x, ids, rng)
+
     for _ in range(WARMUP):
-        state, m = step(state, frozen, x, ids, rng)
+        state, m = step(state, rng)
         _ = float(m["loss_gpt"])
 
     # per-step host fetch of the scalar loss: the conservative sync on this
@@ -113,7 +132,7 @@ def main():
     # pay (the trainer fetches metrics every print_steps).
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, m = step(state, frozen, x, ids, rng)
+        state, m = step(state, rng)
         _ = float(m["loss_gpt"])
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -124,14 +143,17 @@ def main():
     t0 = time.perf_counter()
     last = None
     for _ in range(ITERS):
-        state, last = step(state, frozen, x, ids, rng)
+        state, last = step(state, rng)
     _ = float(last["loss_gpt"])
     dt_pipelined = (time.perf_counter() - t0) / ITERS
 
     samples_per_sec = b / dt
     seq = cfg.gpt.image_encoded_dim ** 2
     out = {
-        "metric": "CAT gpt2_medium train step (full pipeline @256px)",
+        "metric": ("CAT gpt2_medium train step (cached latents)"
+                   if cache_latents else
+                   "CAT gpt2_medium train step (full pipeline @256px)"),
+        "cache_latents": cache_latents,
         "batch": b,
         "grad_accum": ga,
         "remat": remat,
@@ -144,14 +166,17 @@ def main():
         "pipelined_step_ms": round(dt_pipelined * 1e3, 1),
         "pipelined_samples_per_sec": round(b / dt_pipelined, 2),
     }
-    gflop = (gpt_train_gflops_per_sample(cfg.gpt) + FROZEN_GFLOP_PER_SAMPLE)
+    gflop = gpt_train_gflops_per_sample(cfg.gpt) + (
+        0.0 if cache_latents else FROZEN_GFLOP_PER_SAMPLE)
     tflops = samples_per_sec * gflop / 1e3
     out["gflop_per_sample"] = round(gflop, 1)
     out["tflops"] = round(tflops, 1)
     out["mfu_pct"] = round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
     out["mfu_convention"] = ("analytic model FLOPs fwd+bwd, remat recompute "
-                             "excluded; frozen towers measured via CPU cost "
-                             "analysis")
+                             "excluded; frozen towers "
+                             + ("not executed (cached latents), excluded"
+                                if cache_latents else
+                                "measured via CPU cost analysis"))
     # >100% MFU / sub-roofline step_ms -> error + quarantined "suspect"
     # (r4 postmortem; see favae_tpu/utils/benchgate.py)
     out = apply_sanity_gate(out, gflop, b)
