@@ -62,6 +62,14 @@ def build_parser():
                         "single activation footprint (e.g. 24 = 2x12 on a "
                         "16G v5e; see docs/PERFORMANCE.md). batch_size must "
                         "be divisible by N")
+    p.add_argument("--adam_nu_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of Adam's SECOND moment (no optax "
+                        "equivalent; see cat_step.scale_by_adam_nu). "
+                        "Riskier than bf16 mu — sqrt(nu) scales the step "
+                        "size — keep float32 unless the on-chip A/B "
+                        "(scripts/validate_mu_dtype.py WHAT=nu) is neutral "
+                        "for your config")
     p.add_argument("--cache_latents", action="store_true",
                    help="precompute the frozen FA-VAE token ids and CLIP "
                         "text embeddings ONCE before training and train the "
@@ -177,7 +185,8 @@ def main(argv=None):
         clip=clip_cfg, normalize_clip=args.normalize_clip,
         top_k=args.top_k, top_p=args.top_p, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,
-        min_lr=args.min_lr, adam_mu_dtype=args.adam_mu_dtype)
+        min_lr=args.min_lr, adam_mu_dtype=args.adam_mu_dtype,
+        adam_nu_dtype=args.adam_nu_dtype)
 
     save_path = os.path.join("output", "cat", args.ds)
     os.makedirs(save_path, exist_ok=True)

@@ -301,6 +301,13 @@ class CATConfig:
     # roofline on the gpt2_medium step); off by default so the default
     # training dynamics stay bit-comparable to the reference's f32 AdamW.
     adam_mu_dtype: str = "float32"
+    # Opt-in: store Adam's second moment in bf16 too (no optax equivalent —
+    # see cat_step.scale_by_adam_nu). Cuts another ~8 B/param of optimizer
+    # HBM traffic; riskier than bf16 mu (sqrt(nu) scales the step size, and
+    # bf16's 8 mantissa bits put ~0.2% relative noise on it), so it is off
+    # by default and gated on the same on-chip convergence validation as mu
+    # (scripts/validate_mu_dtype.py --what nu).
+    adam_nu_dtype: str = "float32"
     warmup_epochs: int = 20
     epochs: int = 200
     min_lr: float = 0.0

@@ -44,10 +44,61 @@ def decay_mask(params) -> Any:
 
 
 def make_cat_optimizer(cfg: CATConfig, lr_schedule) -> optax.GradientTransformation:
-    return optax.adamw(
-        lr_schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
-        mu_dtype=jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32")),
-        weight_decay=cfg.weight_decay, mask=decay_mask)
+    nu_dtype = jnp.dtype(getattr(cfg, "adam_nu_dtype", "float32"))
+    mu_dtype = jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32"))
+    if nu_dtype == jnp.float32:
+        # reference path: plain optax.adamw, bit-identical AdamW dynamics
+        # (torch-oracle-pinned in tests/test_cat_torch_parity.py)
+        return optax.adamw(
+            lr_schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype,
+            weight_decay=cfg.weight_decay, mask=decay_mask)
+    return optax.chain(
+        scale_by_adam_nu(b1=cfg.adam_b1, b2=cfg.adam_b2,
+                         mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+        optax.add_decayed_weights(cfg.weight_decay, decay_mask),
+        optax.scale_by_learning_rate(lr_schedule))
+
+
+def scale_by_adam_nu(b1: float, b2: float, eps: float = 1e-8,
+                     mu_dtype=None, nu_dtype=None
+                     ) -> optax.GradientTransformation:
+    """`optax.scale_by_adam` plus a storage dtype for the SECOND moment.
+
+    optax only exposes ``mu_dtype``; nu always inherits the (f32) param
+    dtype, and the r5 on-chip CAT profile charges the AdamW state
+    read+write 21 ms of the 167 ms step — nu is half those bytes. Math
+    mirrors optax exactly: moments update in f32 (dtype promotion against
+    the f32 grads), bias correction reads the PRE-cast f32 moments, and
+    the cast to the storage dtype happens once at the end — so with
+    ``nu_dtype=float32`` the transform is bit-identical to
+    ``optax.scale_by_adam`` (pinned by
+    tests/test_clip_and_cat.py::test_adam_nu_dtype_f32_matches_optax).
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype), params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = optax.tree.update_moment(updates, state.mu, b1, 1)
+        nu = optax.tree.update_moment_per_elem_norm(updates, state.nu, b2, 2)
+        count_inc = optax.safe_increment(state.count)
+        mu_hat = optax.tree.bias_correction(mu, b1, count_inc)
+        nu_hat = optax.tree.bias_correction(nu, b2, count_inc)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: m / (jnp.sqrt(v) + eps), mu_hat, nu_hat)
+        mu = optax.tree.cast(mu, mu_dtype)
+        nu = optax.tree.cast(nu, nu_dtype)
+        return updates, optax.ScaleByAdamState(count=count_inc, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class CATTrainState(struct.PyTreeNode):

@@ -84,9 +84,10 @@ def main():
     remat = os.environ.get("REMAT", "dots_nb")
     unroll = int(os.environ.get("UNROLL", "1"))
     mu_dtype = os.environ.get("MU_DTYPE", "float32")
+    nu_dtype = os.environ.get("NU_DTYPE", "float32")
     fold_ln = os.environ.get("FOLD_LN", "0") == "1"
     cfg = dataclasses.replace(
-        cfg, adam_mu_dtype=mu_dtype,
+        cfg, adam_mu_dtype=mu_dtype, adam_nu_dtype=nu_dtype,
         gpt=dataclasses.replace(cfg.gpt, remat=remat,
                                 train_unroll=unroll,
                                 fold_ln_scale=fold_ln))
@@ -159,6 +160,7 @@ def main():
         "remat": remat,
         "unroll": unroll,
         "adam_mu_dtype": mu_dtype,
+        "adam_nu_dtype": nu_dtype,
         "fold_ln_scale": fold_ln,
         "step_ms": round(dt * 1e3, 1),
         "samples_per_sec": round(samples_per_sec, 2),

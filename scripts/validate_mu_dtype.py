@@ -20,6 +20,12 @@ in-process retry. The child writes its curve to an .npy; the parent only
 aggregates.
 
     STEPS=500 B=16 python scripts/validate_mu_dtype.py
+
+WHAT=nu runs the same A/B for the SECOND moment (`CATConfig.adam_nu_dtype`,
+r5: `cat_step.scale_by_adam_nu`): both arms hold mu at the production bf16
+and differ only in nu storage. bf16 nu is riskier than bf16 mu — sqrt(nu)
+scales the step size directly — hence the same evidence gate before any
+recommendation.
 """
 
 import json
@@ -39,8 +45,12 @@ LR = 1e-4
 WINDOW = 100
 
 
-def child(mu_dtype: str, out_path: str) -> None:
-    """Run one loss curve on the chip and save it to out_path (.npy)."""
+def child(spec: str, out_path: str) -> None:
+    """Run one loss curve on the chip and save it to out_path (.npy).
+
+    ``spec`` is "<mu_dtype>:<nu_dtype>" (plain "<mu_dtype>" = f32 nu)."""
+    mu_dtype, _, nu_dtype = spec.partition(":")
+    nu_dtype = nu_dtype or "float32"
     import dataclasses
     import time
 
@@ -58,7 +68,7 @@ def child(mu_dtype: str, out_path: str) -> None:
 
     cfg = cat_celebahq()
     cfg = dataclasses.replace(
-        cfg, adam_mu_dtype=mu_dtype,
+        cfg, adam_mu_dtype=mu_dtype, adam_nu_dtype=nu_dtype,
         gpt=dataclasses.replace(cfg.gpt, remat="dots_nb", train_unroll=24))
     cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
     tx = make_cat_optimizer(cfg, optax.constant_schedule(LR))
@@ -82,30 +92,38 @@ def child(mu_dtype: str, out_path: str) -> None:
         state, m = step(state, frozen, x, ids, jax.random.PRNGKey(i))
         losses[i] = float(m["loss_gpt"])
         if i % 100 == 0:
-            print(f"# [{mu_dtype}] step {i} loss {losses[i]:.4f} "
+            print(f"# [{spec}] step {i} loss {losses[i]:.4f} "
                   f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
                   flush=True)
     np.save(out_path, losses)
 
 
-def run(mu_dtype: str) -> np.ndarray:
-    out = os.path.join(tempfile.gettempdir(), f"mu_curve_{mu_dtype}.npy")
+def run(spec: str) -> np.ndarray:
+    tag = spec.replace(":", "_")
+    out = os.path.join(tempfile.gettempdir(), f"mu_curve_{tag}.npy")
     if os.path.exists(out):
         os.unlink(out)
-    env = dict(os.environ, FAVAE_MU_CHILD=mu_dtype, FAVAE_MU_OUT=out)
+    env = dict(os.environ, FAVAE_MU_CHILD=spec, FAVAE_MU_OUT=out)
     for attempt in (1, 2):
         rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                             env=env).returncode
         if rc == 0:
             return np.load(out)
-        print(f"# child [{mu_dtype}] attempt {attempt} rc={rc}",
+        print(f"# child [{spec}] attempt {attempt} rc={rc}",
               file=sys.stderr, flush=True)
-    raise RuntimeError(f"both child attempts failed for {mu_dtype}")
+    raise RuntimeError(f"both child attempts failed for {spec}")
 
 
 def main():
-    curves = {d: run(d) for d in ("float32", "bfloat16")}
-    f32, bf16 = curves["float32"], curves["bfloat16"]
+    # WHAT=mu (default): f32 vs bf16 FIRST moment, nu f32 in both arms.
+    # WHAT=nu: f32 vs bf16 SECOND moment, mu at the production bf16 in both.
+    what = os.environ.get("WHAT", "mu")
+    if what == "nu":
+        arm_a, arm_b = "bfloat16:float32", "bfloat16:bfloat16"
+    else:
+        arm_a, arm_b = "float32", "bfloat16"
+    curves = {d: run(d) for d in (arm_a, arm_b)}
+    f32, bf16 = curves[arm_a], curves[arm_b]
 
     def window_means(c):
         return [round(float(c[i:i + WINDOW].mean()), 5)
@@ -119,7 +137,8 @@ def main():
     noise = float(np.std(final_f32))
     gap = float(abs(final_f32.mean() - final_bf16.mean()))
     print(json.dumps({
-        "metric": "CAT bf16-Adam-mu convergence validation",
+        "metric": f"CAT bf16-Adam-{what} convergence validation",
+        "arms": [arm_a, arm_b],
         "steps": STEPS, "batch": B, "corpus": CORPUS, "lr": LR,
         "window_means_f32": window_means(f32),
         "window_means_bf16": window_means(bf16),

@@ -561,3 +561,68 @@ def test_cat_grad_accum_matches_full_batch():
     state = create_cat_state(cat, gpt_params, tx)
     with pytest.raises(ValueError, match="not divisible"):
         bad(state, frozen, x, ids, rng)
+
+
+def test_adam_nu_dtype_f32_matches_optax():
+    """scale_by_adam_nu with f32 storage must be BITWISE optax.scale_by_adam
+    over several steps — proving the custom transform changes only the nu
+    storage dtype, nothing in the Adam math (cat_step.scale_by_adam_nu)."""
+    import optax
+    from favae_tpu.train.cat_step import scale_by_adam_nu
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(4, 8),
+                               jnp.float32),
+              "b": jnp.asarray(np.random.RandomState(1).randn(8),
+                               jnp.float32)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.95)
+    ours = scale_by_adam_nu(b1=0.9, b2=0.95, nu_dtype=jnp.float32)
+    s_ref, s_ours = ref.init(params), ours.init(params)
+    for i in range(5):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(10 + i).randn(*p.shape), jnp.float32),
+            params)
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_ours, s_ours = ours.update(g, s_ours)
+        for a, b in zip(jax.tree_util.tree_leaves(u_ref),
+                        jax.tree_util.tree_leaves(u_ours)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adam_nu_dtype_knob():
+    """adam_nu_dtype="bfloat16" stores Adam's second moment in bf16 (with mu
+    also bf16 — the production pairing) and still trains; the trajectory
+    stays close to the all-f32 run over a few steps."""
+    import dataclasses
+    import optax
+    from favae_tpu.models.txt_cond import build_cat
+    from favae_tpu.train.cat_step import (
+        create_cat_state, make_cat_optimizer, make_cat_train_step)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3)
+                    .astype(np.float32) * 2 - 1)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 50, (2, 8))
+                      .astype(np.int32))
+    final = {}
+    for nu_dtype in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(
+            tiny_cat_cfg(),
+            adam_mu_dtype="bfloat16" if nu_dtype == "bfloat16" else "float32",
+            adam_nu_dtype=nu_dtype)
+        cat, gpt_params = build_cat(cfg, jax.random.PRNGKey(0))
+        tx = make_cat_optimizer(cfg, optax.constant_schedule(1e-4))
+        state = create_cat_state(cat, gpt_params, tx)
+        if nu_dtype == "bfloat16":
+            leaves = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                      if hasattr(l, "dtype")]
+            assert any(l.dtype == jnp.bfloat16 for l in leaves)
+        step = jax.jit(make_cat_train_step(cat, tx))
+        frozen = cat.frozen_params()
+        losses = []
+        for _ in range(3):
+            state, m = step(state, frozen, x, ids, jax.random.PRNGKey(2))
+            losses.append(float(m["loss_gpt"]))
+        assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+        final[nu_dtype] = losses[-1]
+    assert abs(final["bfloat16"] - final["float32"]) < 0.05 * abs(
+        final["float32"])
